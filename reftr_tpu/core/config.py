@@ -1,0 +1,236 @@
+"""Typed configuration for reftr_tpu.
+
+Replaces the reference's flat argparse namespace (~70 flags in
+/root/reference/main_vg.py:26-164) with serializable dataclasses. Every knob
+the reference exposes and actually consumes has an equivalent here; the
+Deformable-DETR leftovers that are parsed but never used
+(`--with_box_refine`, `--two_stage`, `--dec_n_points`, `--enc_n_points`)
+are intentionally dropped.
+
+Configs are plain dataclasses so they can be embedded into checkpoints
+(as dicts) exactly like the reference pickles `args` into checkpoint.pth
+(main_vg.py:383).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+@dataclass
+class BertConfig:
+    """Architecture of the language backbone (HF bert-base-uncased layout).
+
+    The reference uses HF BertModel/RobertaModel
+    (/root/reference/models/reftr_transformer.py:315-318); we implement the
+    encoder natively in JAX and load converted HF weights.
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    is_roberta: bool = False  # roberta: pad_token_id=1, offset position ids
+
+    @classmethod
+    def tiny(cls) -> "BertConfig":
+        """A small config for unit tests."""
+        return cls(
+            vocab_size=512,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=128,
+        )
+
+
+@dataclass
+class ModelConfig:
+    """RefTR model architecture (reference flags: main_vg.py:56-115)."""
+
+    reftr_type: str = "transformer_single_phrase"
+    backbone: str = "resnet50"  # resnet50 | resnet101
+    dilation: bool = False  # DC5: dilate last stage instead of striding
+    position_embedding: str = "sine"  # sine | learned
+    num_feature_levels: int = 1
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    hidden_dim: int = 256
+    dropout: float = 0.1
+    nheads: int = 8
+    normalize_before: bool = False
+    activation: str = "relu"
+    masks: bool = False  # add RES segmentation head
+    freeze_reftr: bool = False
+    freeze_bert: bool = False
+    freeze_backbone: bool = False
+    bert_model: str = "bert-base-uncased"
+    bert: BertConfig = field(default_factory=BertConfig)
+    max_lang_seq: int = 128
+    num_queries_per_phrase: int = 1
+    aux_loss: bool = False
+    no_decoder: bool = False
+    ablation: str = "none"  # 'cem_loss' enables the CEM energy head
+    # --- TPU-specific knobs (no reference equivalent) ---
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    use_pallas_attention: bool = False  # fused attention kernel on TPU
+    remat: bool = False  # jax.checkpoint the encoder/backbone for memory
+
+    @property
+    def use_decoder(self) -> bool:
+        return self.dec_layers > 0 and not self.no_decoder
+
+    @property
+    def cem_loss(self) -> bool:
+        return self.ablation == "cem_loss"
+
+
+@dataclass
+class LossConfig:
+    """Loss coefficients (main_vg.py:119-134)."""
+
+    bbox_loss_coef: float = 1.0
+    giou_loss_coef: float = 1.0
+    mask_loss_coef: float = 1.0
+    dice_loss_coef: float = 1.0
+    cem_loss_coef: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # Hungarian/one-to-all matcher costs (capability parity; the live
+    # criterion is matcher-free since num_queries_per_phrase == 1).
+    set_cost_class: float = 1.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+
+
+@dataclass
+class DataConfig:
+    """Dataset & batching (main_vg.py:137-147; datasets/__init__.py:17-132).
+
+    Static shapes replace the reference's per-batch padding: images land on a
+    fixed `img_size`x`img_size` canvas with a validity mask, sentences pad to
+    `max_query_len` (single-phrase) or `max_sentence_len` (multi-phrase),
+    phrases pad to `max_num_phrases`.
+    """
+
+    dataset: str = "refcoco_unc"
+    train_split: str = "train"
+    test_splits: Tuple[str, ...] = ("val",)
+    data_root: str = "./data"
+    img_size: int = 640
+    max_img_size: int = 640
+    # tokenization (resc_refer_dataset.py:158-166; refer_multiphrase.py:9)
+    max_query_len: int = 40
+    max_sentence_len: int = 90
+    max_num_phrases: int = 16
+    phrase_seq_len: int = 22
+    multi_phrase: bool = False
+    batch_size: int = 8
+    num_workers: int = 2
+    cache_mode: bool = False
+    # color jitter strength of RandomIntensitySaturation (transforms.py:266-285)
+    hsv_jitter: float = 0.5
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh. The reference only has data parallelism (DDP,
+    main_vg.py:290-296); we expose a (data, model) mesh where `model`>1
+    shards attention heads / FFN over tensor-parallel ranks."""
+
+    data: int = -1  # -1: all devices on the data axis
+    model: int = 1
+
+
+@dataclass
+class TrainConfig:
+    """Optimization & schedule (main_vg.py:28-55, 234-287)."""
+
+    lr: float = 1e-4
+    lr_backbone: float = 1e-5
+    lr_bert: float = 1e-5
+    lr_mask_branch_proj: float = 1.0  # multiplier on base lr
+    sgd: bool = False
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    clip_max_norm: float = 0.1
+    epochs: int = 60
+    lr_drop: int = 40
+    lr_drop_epochs: Optional[Tuple[int, ...]] = None
+    warm_up_epoch: int = 2
+    lr_decay: float = 0.1
+    lr_schedule: str = "StepLR"  # StepLR | MultiStepWarmupLR | CosineWarmupLR
+    seed: int = 42
+    start_epoch: int = 0
+    run_epoch: int = 500  # bounded-run chunking for time-limited queues
+    ckpt_cycle: int = 20
+    output_dir: str = ""
+    resume: str = ""
+    auto_resume: bool = False
+    resume_model_only: bool = False
+    pretrained_model: Optional[str] = None
+    eval_only: bool = False
+    # loss/metric accumulation dtype stays float32 regardless of compute dtype
+    donate_state: bool = True
+
+
+@dataclass
+class RefTRConfig:
+    """Top-level bundle."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ------------------------------------------------------------------
+    # (de)serialization — round-trips through JSON for checkpoint embedding
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RefTRConfig":
+        sections = {
+            "model": ModelConfig,
+            "loss": LossConfig,
+            "data": DataConfig,
+            "mesh": MeshConfig,
+            "train": TrainConfig,
+        }
+        kwargs: dict[str, Any] = {}
+        for name, tp in sections.items():
+            if name not in d:
+                continue
+            val = dict(d[name])
+            if name == "model" and isinstance(val.get("bert"), dict):
+                val["bert"] = BertConfig(**val["bert"])
+            # tuple fields arrive as lists from JSON
+            known = {f.name for f in dataclasses.fields(tp)}
+            fixed = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in val.items()
+                if k in known
+            }
+            kwargs[name] = tp(**fixed)
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RefTRConfig":
+        return cls.from_dict(json.loads(s))

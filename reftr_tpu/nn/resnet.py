@@ -1,0 +1,176 @@
+"""ResNet-50/101 image backbone with frozen BatchNorm, NHWC, in Flax.
+
+Capability parity with /root/reference/models/modeling/backbone.py:
+  * FrozenBatchNorm2d semantics — affine params and running stats are plain
+    (non-trained) parameters; eps added *before* rsqrt (backbone.py:43-80),
+  * torchvision ResNet v1.5 topology (stride on the 3x3 conv of each
+    bottleneck) so released PyTorch checkpoints convert 1:1,
+  * 1-level (layer4) or 4-level (layer1-4) feature extraction
+    (backbone.py:90-99),
+  * optional DC5 dilation of the last stage (backbone.py:117-125).
+
+TPU-first differences: NHWC layout, bf16-friendly compute dtype (stats math
+stays in fp32), per-level masks computed by exact nearest subsampling instead
+of F.interpolate on device.
+
+Module/parameter names mirror torchvision ('conv1', 'bn1', 'layer1'...'4',
+block indices, 'downsample') so the PyTorch->JAX converter is mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Block counts per torchvision model name.
+RESNET_LAYERS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine parameters.
+
+    All four tensors live in the param tree (they are loaded from converted
+    checkpoints) but are excluded from optimization by the optimizer's
+    param-group labeling, mirroring torch buffers.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = (self.features,)
+        weight = self.param("weight", nn.initializers.ones, f)
+        bias = self.param("bias", nn.initializers.zeros, f)
+        mean = self.param("running_mean", nn.initializers.zeros, f)
+        var = self.param("running_var", nn.initializers.ones, f)
+        # eps before rsqrt (reference comment: other models produce NaN
+        # without it). Compute scale/shift in fp32, apply in compute dtype.
+        scale = weight * jax.lax.rsqrt(var + self.eps)
+        shift = bias - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+          dtype: Any = jnp.float32, name: str | None = None) -> nn.Conv:
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=False,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (expansion 4, stride on conv2 = v1.5)."""
+
+    width: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_ch = self.width * 4
+        identity = x
+        y = _conv(self.width, 1, dtype=self.dtype, name="conv1")(x)
+        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.width, 3, self.stride, self.dilation, self.dtype, "conv2")(y)
+        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = _conv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
+        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
+        if self.downsample:
+            identity = _conv(out_ch, 1, self.stride, dtype=self.dtype,
+                             name="downsample_conv")(x)
+            identity = FrozenBatchNorm(out_ch, dtype=self.dtype,
+                                       name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """Feature-pyramid ResNet. Input NHWC float images (already normalized).
+
+    Returns a tuple of feature maps: (layer1..layer4) when
+    `return_interm_layers` else (layer4,).
+    """
+
+    name_or_depth: str = "resnet50"
+    return_interm_layers: bool = False
+    dilation: bool = False  # DC5: dilate layer4 instead of striding
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        blocks = RESNET_LAYERS[self.name_or_depth]
+        x = x.astype(self.dtype)
+        x = _conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        widths = (64, 128, 256, 512)
+        for stage, (width, n_blocks) in enumerate(zip(widths, blocks), start=1):
+            stride = 1 if stage == 1 else 2
+            dilation = 1
+            if stage == 4 and self.dilation:
+                stride, dilation = 1, 2
+            for b in range(n_blocks):
+                # torchvision's replace_stride_with_dilation: block 0 keeps
+                # the previous dilation (1), later blocks use the new one.
+                block_dilation = 1 if b == 0 else dilation
+                x = Bottleneck(
+                    width=width,
+                    stride=stride if b == 0 else 1,
+                    dilation=block_dilation,
+                    downsample=(b == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage}_{b}",
+                )(x)
+            feats.append(x)
+
+        if self.return_interm_layers:
+            return tuple(feats)
+        return (feats[-1],)
+
+
+def backbone_strides_channels(return_interm_layers: bool, dilation: bool):
+    """Mirrors BackboneBase strides/num_channels (backbone.py:90-99,124-125)."""
+    if return_interm_layers:
+        strides = [4, 8, 16, 32]
+        channels = [256, 512, 1024, 2048]
+    else:
+        strides = [32]
+        channels = [2048]
+    if dilation:
+        strides[-1] //= 2
+    return strides, channels
+
+
+def downsample_mask(valid_mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-subsample a [B, H, W] bool mask to out_hw.
+
+    Matches torch F.interpolate(mode='nearest') index selection:
+    src = floor(dst * in/out).
+    """
+    b, h, w = valid_mask.shape
+    oh, ow = out_hw
+    ys = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
+    return valid_mask[:, ys][:, :, xs]

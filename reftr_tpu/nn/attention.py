@@ -1,0 +1,95 @@
+"""Multi-head attention, batch-first, TPU-first.
+
+Functionally equivalent to torch.nn.MultiheadAttention as used by the
+reference transformer (/root/reference/models/modeling/transformer.py:151,
+211-212): separate q/k/v inputs (for pos-embed-added queries/keys), a single
+packed qkv projection, key-padding masking, attention-weight dropout, and an
+output projection.
+
+TPU-first choices:
+  * batch-first [B, S, D] (the reference is seq-first),
+  * logits and softmax computed in float32 regardless of compute dtype,
+  * masking via a large negative bias instead of -inf masked_fill — fully
+    masked rows produce finite garbage instead of NaN (such rows are always
+    discarded downstream by phrase masks, and the reference asserts they
+    cannot occur on live paths, models/reftr.py:93),
+  * optionally dispatches to the Pallas fused kernel (reftr_tpu.kernels).
+
+Parameter layout: q/k/v kernels are [D, D] right-multiplying (x @ W), i.e.
+the transpose of torch's in_proj_weight rows; the converter handles this.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9  # large negative, representable in bf16/fp32
+
+
+class MultiHeadAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """query: [B, Sq, D]; key/value: [B, Sk, D].
+
+        key_padding_mask: [B, Sk] bool, True = VALID key (note: this is the
+        inverse of the torch convention; conversion happens at module edges).
+        """
+        d, h = self.d_model, self.num_heads
+        dh = d // h
+        assert d % h == 0, "d_model must be divisible by num_heads"
+
+        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name,
+                                      kernel_init=nn.initializers.xavier_uniform(),
+                                      bias_init=nn.initializers.zeros)
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, h, dh)
+        k = k.reshape(b, sk, h, dh)
+        v = v.reshape(b, sk, h, dh)
+
+        if self.use_pallas and not (self.dropout > 0 and not deterministic):
+            from reftr_tpu.kernels.attention import fused_attention
+
+            out = fused_attention(q, k, v, key_padding_mask)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if key_padding_mask is not None:
+                bias = jnp.where(key_padding_mask[:, None, None, :], 0.0, NEG_INF)
+                logits = logits + bias
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if self.dropout > 0 and not deterministic:
+                weights = nn.Dropout(rate=self.dropout, deterministic=False,
+                                     name="attn_dropout")(weights)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                weights.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+
+        out = out.reshape(b, sq, d)
+        return dense("out_proj")(out)

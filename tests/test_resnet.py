@@ -1,0 +1,184 @@
+"""ResNet backbone tests: FrozenBN math, bottleneck parity vs an in-test
+torch oracle (standard torchvision v1.5 bottleneck), shapes, mask subsampling."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from reftr_tpu.nn.convert import convert_resnet
+from reftr_tpu.nn.resnet import (
+    Bottleneck,
+    FrozenBatchNorm,
+    ResNet,
+    downsample_mask,
+)
+
+
+def frozen_bn_torch(x, w, b, rm, rv, eps=1e-5):
+    scale = w * (rv + eps).rsqrt()
+    bias = b - rm * scale
+    return x * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+
+
+def test_frozen_bn(rng):
+    C = 16
+    x = rng.normal(size=(2, C, 8, 8)).astype(np.float32)
+    w = rng.normal(size=C).astype(np.float32)
+    b = rng.normal(size=C).astype(np.float32)
+    rm = rng.normal(size=C).astype(np.float32)
+    rv = rng.uniform(0.5, 2.0, size=C).astype(np.float32)
+    want = frozen_bn_torch(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        torch.from_numpy(rm), torch.from_numpy(rv)).numpy()
+    m = FrozenBatchNorm(C)
+    params = {"params": {"weight": w, "bias": b, "running_mean": rm,
+                         "running_var": rv}}
+    got = np.asarray(m.apply(params, np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+class TorchBottleneck(torch.nn.Module):
+    """Standard torchvision v1.5 bottleneck with frozen BN, as oracle."""
+
+    def __init__(self, in_ch, width, stride=1, downsample=False):
+        super().__init__()
+        out_ch = width * 4
+        self.conv1 = torch.nn.Conv2d(in_ch, width, 1, bias=False)
+        self.conv2 = torch.nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.conv3 = torch.nn.Conv2d(width, out_ch, 1, bias=False)
+        self.has_down = downsample
+        if downsample:
+            self.down = torch.nn.Conv2d(in_ch, out_ch, 1, stride, bias=False)
+        g = torch.Generator().manual_seed(7)
+        self.stats = {}
+        for name, ch in (("bn1", width), ("bn2", width), ("bn3", out_ch),
+                         ("bnd", out_ch)):
+            self.stats[name] = [
+                torch.rand(ch, generator=g) + 0.5,  # weight
+                torch.randn(ch, generator=g) * 0.1,  # bias
+                torch.randn(ch, generator=g) * 0.1,  # mean
+                torch.rand(ch, generator=g) + 0.5,  # var
+            ]
+
+    def bn(self, x, name):
+        w, b, rm, rv = self.stats[name]
+        return frozen_bn_torch(x, w, b, rm, rv)
+
+    def forward(self, x):
+        idt = x
+        y = F.relu(self.bn(self.conv1(x), "bn1"))
+        y = F.relu(self.bn(self.conv2(y), "bn2"))
+        y = self.bn(self.conv3(y), "bn3")
+        if self.has_down:
+            idt = self.bn(self.down(x), "bnd")
+        return F.relu(y + idt)
+
+    def export_state(self):
+        sd = {}
+        for j, conv in ((1, self.conv1), (2, self.conv2), (3, self.conv3)):
+            sd[f"x.conv{j}.weight"] = conv.weight
+            w, b, rm, rv = self.stats[f"bn{j}"]
+            sd[f"x.bn{j}.weight"] = w
+            sd[f"x.bn{j}.bias"] = b
+            sd[f"x.bn{j}.running_mean"] = rm
+            sd[f"x.bn{j}.running_var"] = rv
+        if self.has_down:
+            sd["x.downsample.0.weight"] = self.down.weight
+            w, b, rm, rv = self.stats["bnd"]
+            sd["x.downsample.1.weight"] = w
+            sd["x.downsample.1.bias"] = b
+            sd["x.downsample.1.running_mean"] = rm
+            sd["x.downsample.1.running_var"] = rv
+        return sd
+
+
+def test_bottleneck_vs_torch(rng):
+    torch.manual_seed(5)
+    t_block = TorchBottleneck(in_ch=32, width=16, stride=2, downsample=True)
+    x = rng.normal(size=(2, 32, 14, 14)).astype(np.float32)
+    with torch.no_grad():
+        want = t_block(torch.from_numpy(x)).numpy()
+
+    from reftr_tpu.nn import convert as C
+
+    sd = t_block.export_state()
+    params = {}
+    for j in (1, 2, 3):
+        params[f"conv{j}"] = C.conv(sd, f"x.conv{j}")
+        params[f"bn{j}"] = C.frozen_bn(sd, f"x.bn{j}")
+    params["downsample_conv"] = C.conv(sd, "x.downsample.0")
+    params["downsample_bn"] = C.frozen_bn(sd, "x.downsample.1")
+
+    block = Bottleneck(width=16, stride=2, downsample=True)
+    got = np.asarray(
+        block.apply({"params": params}, np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 3, 1, 2)), want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_shapes(rng):
+    import jax
+
+    model = ResNet("resnet50", return_interm_layers=True)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024), (1, 2, 2, 2048)]
+
+    single = ResNet("resnet50", return_interm_layers=False)
+    params = single.init(jax.random.PRNGKey(0), x)
+    (f4,) = single.apply(params, x)
+    assert f4.shape == (1, 2, 2, 2048)
+
+
+def test_convert_resnet_covers_all_params(rng):
+    """The converter's output tree must exactly match the module's init tree."""
+    import jax
+
+    # tiny fake torchvision state dict with correct shapes for resnet50
+    model = ResNet("resnet50", return_interm_layers=False)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    # build a synthetic torch-style sd from our own params (transposed back)
+    sd = {}
+
+    def emit(prefix_t, tree):
+        for k, v in tree.items():
+            if k.startswith("conv") or k == "downsample_conv":
+                name = {"downsample_conv": "downsample.0"}.get(k, k)
+                sd[f"{prefix_t}{name}.weight"] = np.transpose(
+                    np.asarray(v["kernel"]), (3, 2, 0, 1))
+            elif k.startswith("bn") or k == "downsample_bn":
+                name = {"downsample_bn": "downsample.1"}.get(k, k)
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{prefix_t}{name}.{s}"] = np.asarray(v[s])
+
+    emit("", {"conv1": params["conv1"], "bn1": params["bn1"]})
+    for key, tree in params.items():
+        if key.startswith("layer"):
+            stage, b = key[5:].split("_")
+            emit(f"layer{stage}.{b}.", tree)
+
+    converted = convert_resnet(sd, "resnet50")
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(converted)
+    paths_a = {jax.tree_util.keystr(p) for p, _ in flat_a}
+    paths_b = {jax.tree_util.keystr(p) for p, _ in flat_b}
+    assert paths_a == paths_b
+    for (p, a), (_, bv) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                               sorted(flat_b, key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(a), bv, rtol=1e-6)
+
+
+def test_downsample_mask_matches_torch_nearest(rng):
+    m = rng.uniform(size=(2, 37, 53)) > 0.3
+    want = (
+        F.interpolate(torch.from_numpy(m).float()[None], size=(5, 7))
+        .numpy()[0]
+        .astype(bool)
+    )
+    got = np.asarray(downsample_mask(m, (5, 7)))
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,31 @@
+"""Model factory (rebuilds /root/reference/models/__init__.py:4-11).
+
+Dispatch: reftr_type prefix 'transformer' + masks -> RefTRSeg else RefTR;
+anything else raises NotImplementedError like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from flax import linen as nn
+
+from reftr_tpu.core.config import RefTRConfig
+from reftr_tpu.models.criterion import weight_dict as build_weight_dict
+from reftr_tpu.models.reftr import RefTR
+
+
+def build_model(cfg: RefTRConfig) -> Tuple[nn.Module, Dict[str, float]]:
+    mc = cfg.model
+    if not mc.reftr_type.startswith("transformer"):
+        raise NotImplementedError(
+            f"reftr_type {mc.reftr_type!r} is not implemented")
+    if mc.masks:
+        from reftr_tpu.models.reftr_seg import RefTRSeg
+
+        model: nn.Module = RefTRSeg(mc)
+    else:
+        model = RefTR(mc)
+    wd = build_weight_dict(cfg.loss, mc.dec_layers, mc.aux_loss,
+                           with_masks=mc.masks)
+    return model, wd

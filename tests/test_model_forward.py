@@ -1,0 +1,167 @@
+"""End-to-end RefTR forward + criterion tests on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reftr_tpu.core.config import BertConfig, LossConfig, ModelConfig
+from reftr_tpu.models.criterion import criterion, total_loss, weight_dict
+from reftr_tpu.models.postprocess import decode_boxes, rec_metrics
+from reftr_tpu.models.reftr import RefTR
+
+
+def tiny_model_config(**kw):
+    return ModelConfig(
+        backbone="resnet50",
+        enc_layers=2,
+        dec_layers=2,
+        dim_feedforward=64,
+        hidden_dim=32,
+        nheads=4,
+        bert=BertConfig.tiny(),
+        aux_loss=True,
+        **kw,
+    )
+
+
+def single_phrase_batch(rng, b=2, hw=64, s=12):
+    sv = np.zeros((b, s), np.int32)
+    sv[0, :7] = 1
+    sv[1, :10] = 1
+    iv = np.zeros((b, hw, hw), bool)
+    iv[0, :48, :64] = True
+    iv[1, :64, :56] = True
+    return {
+        "image": rng.normal(size=(b, hw, hw, 3)).astype(np.float32),
+        "image_valid": iv,
+        "sentence": rng.integers(1, 500, size=(b, s)).astype(np.int32),
+        "sentence_valid": sv,
+    }
+
+
+def multi_phrase_batch(rng, b=2, hw=64, s=16, p=4, sp=6):
+    batch = single_phrase_batch(rng, b, hw, s)
+    pv = np.zeros((b, p, sp), np.int32)
+    pv[:, :, :2] = 1  # CLS/SEP always
+    pv[0, :2, :5] = 1  # 2 real phrases in sample 0
+    pv[1, :3, :4] = 1  # 3 real phrases in sample 1
+    pl = np.ones((b, p), np.int32)
+    pr = np.minimum(pl + 3, s)
+    return {
+        **batch,
+        "phrases": rng.integers(1, 500, size=(b, p, sp)).astype(np.int32),
+        "phrase_valid": pv,
+        "phrase_pos_l": pl,
+        "phrase_pos_r": pr,
+    }
+
+
+@pytest.fixture(scope="module")
+def single_setup():
+    rng = np.random.default_rng(1)
+    mc = tiny_model_config()
+    model = RefTR(mc)
+    batch = single_phrase_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, batch
+
+
+def test_single_phrase_forward(single_setup):
+    model, params, batch = single_setup
+    out = jax.jit(lambda p, b: model.apply(p, b))(params, batch)
+    assert out["pred_boxes"].shape == (2, 1, 1, 4)
+    assert out["phrase_mask"].shape == (2, 1)
+    assert bool(out["phrase_mask"].all())
+    assert len(out["aux_outputs"]) == 1  # dec_layers - 1
+    pb = np.asarray(out["pred_boxes"])
+    assert np.isfinite(pb).all() and (pb > 0).all() and (pb < 1).all()
+
+
+def test_single_phrase_criterion_and_metrics(single_setup):
+    model, params, batch = single_setup
+    out = model.apply(params, batch)
+    targets = {
+        "boxes": np.array([[[0.5, 0.5, 0.3, 0.4]], [[0.3, 0.6, 0.2, 0.2]]],
+                          np.float32),
+        "box_valid": np.ones((2, 1), bool),
+    }
+    lc = LossConfig()
+    losses = criterion(out, targets, lc)
+    assert {"loss_bbox", "loss_giou", "loss_bbox_0", "loss_giou_0"} <= set(losses)
+    wd = weight_dict(lc, dec_layers=2, aux_loss=True)
+    tl = float(total_loss(losses, wd))
+    assert np.isfinite(tl) and tl > 0
+
+    m = rec_metrics(out["pred_boxes"], targets["boxes"], targets["box_valid"])
+    assert float(m["cnt"]) == 2.0
+    assert 0.0 <= float(m["sum_iou"]) <= 2.0
+
+
+def test_multi_phrase_forward_and_losses():
+    rng = np.random.default_rng(2)
+    mc = tiny_model_config()
+    model = RefTR(mc)
+    batch = multi_phrase_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda p, b: model.apply(p, b))(params, batch)
+    assert out["pred_boxes"].shape == (2, 4, 1, 4)
+    pm = np.asarray(out["phrase_mask"]).reshape(2, 4)
+    # phrase validity from 3rd token of each phrase mask
+    np.testing.assert_array_equal(pm[0], [True, True, False, False])
+    np.testing.assert_array_equal(pm[1], [True, True, True, False])
+
+    targets = {
+        "boxes": rng.uniform(0.3, 0.6, size=(2, 4, 4)).astype(np.float32),
+        "box_valid": pm,
+    }
+    losses = criterion(out, targets, LossConfig())
+    assert np.isfinite(float(losses["loss_bbox"]))
+    assert np.isfinite(float(losses["loss_giou"]))
+
+    # padded phrases must not contribute: change target at an invalid slot
+    targets2 = {
+        "boxes": targets["boxes"].copy(),
+        "box_valid": targets["box_valid"],
+    }
+    targets2["boxes"][0, 3] = [0.9, 0.9, 0.05, 0.05]
+    losses2 = criterion(out, targets2, LossConfig())
+    assert float(losses["loss_bbox"]) == float(losses2["loss_bbox"])
+
+
+def test_decode_boxes_scaling():
+    pred = np.zeros((1, 2, 1, 4), np.float32)
+    pred[0, 0, 0] = [0.5, 0.5, 0.2, 0.4]
+    sizes = np.array([[100, 200]], np.float32)  # h, w
+    boxes = np.asarray(decode_boxes(pred, sizes, True))
+    np.testing.assert_allclose(boxes[0, 0], [80.0, 30.0, 120.0, 70.0], rtol=1e-5)
+
+
+def test_num_boxes_world_clamp():
+    from reftr_tpu.models.criterion import compute_num_boxes
+
+    bv = np.ones((2, 3), bool)
+    assert float(compute_num_boxes(bv, 1)) == 6.0
+    assert float(compute_num_boxes(np.zeros((1, 1), bool), 4)) == 4.0
+
+
+def test_grad_finite(single_setup):
+    model, params, batch = single_setup
+    targets = {
+        "boxes": np.array([[[0.5, 0.5, 0.3, 0.4]], [[0.3, 0.6, 0.2, 0.2]]],
+                          np.float32),
+        "box_valid": np.ones((2, 1), bool),
+    }
+    lc = LossConfig()
+    wd = weight_dict(lc, 2, True)
+
+    def loss_fn(p):
+        out = model.apply(p, batch)
+        return total_loss(criterion(out, targets, lc), wd)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves)))
+    assert gnorm > 0

@@ -1,0 +1,102 @@
+"""Device mesh and SPMD sharding rules.
+
+The reference's only strategy is DDP data parallelism over NCCL
+(/root/reference/main_vg.py:290-296, util/misc.py:392-431). Here the whole
+train step is one pjit'd global program over a (data, model) Mesh:
+
+  * batch arrays are sharded over the 'data' axis — the gradient all-reduce
+    the reference gets from DDP hooks is inserted by XLA as an ICI
+    all-reduce of the psum'd loss gradients,
+  * with mesh.model > 1, attention head projections and FFN hidden layers
+    are sharded over 'model' (Megatron-style tensor parallelism: column-
+    parallel first matmul, row-parallel second; XLA inserts the matching
+    reduce-scatter/all-reduce),
+  * everything else is replicated.
+
+Multi-host bootstrap is `jax.distributed.initialize()`
+(reftr_tpu.core.distributed), replacing env://+NCCL init.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from reftr_tpu.core.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# Rules applied to '/'-joined parameter paths, first match wins.
+# (pattern, partition spec for the kernel).
+_TP_RULES = [
+    # FFN: column-parallel in, row-parallel out
+    (re.compile(r"(linear1|intermediate)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"(linear2|output)/kernel$"), P(MODEL_AXIS, None)),
+    # attention: head-sharded qkv, row-parallel out projection
+    (re.compile(r"(q_proj|k_proj|v_proj)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"out_proj/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r"(linear1|intermediate|q_proj|k_proj|v_proj)/bias$"),
+     P(MODEL_AXIS)),
+]
+
+
+def create_mesh(cfg: MeshConfig | None = None,
+                devices: Optional[list] = None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, cfg.model)
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model == n, (
+        f"mesh {data}x{model} does not match {n} devices")
+    dev_array = mesh_utils.create_device_mesh((data, model),
+                                              devices=devices)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_spec(path: str, value: Any = None,
+               tensor_parallel: bool = True) -> P:
+    """Partition spec for a parameter at '/'-joined `path`."""
+    if tensor_parallel:
+        for pat, spec in _TP_RULES:
+            if pat.search(path):
+                return spec
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree for a param tree; TP rules active iff the mesh's
+    model axis is larger than 1."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def one(key_path, v):
+        return NamedSharding(mesh, param_spec(_path_str(key_path), v, tp))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Sharding for batch arrays: leading axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,102 @@
+"""Optimizer with the reference's 4-way param grouping.
+
+Rebuilds /root/reference/main_vg.py:229-268 with optax.multi_transform:
+
+  group 'base'        : everything else                  @ lr
+  group 'backbone'    : trainable ResNet convs           @ lr_backbone
+  group 'bert'        : language backbone                @ lr_bert
+                        (the reference also uses lr_backbone here)
+  group 'mask_branch' : bbox_attention + mask_head       @ lr * lr_mask_branch_proj
+  group 'frozen'      : never trained -> set_to_zero
+
+Frozen exactly like the reference:
+  * all FrozenBN tensors (torch buffers: backbone.py:43-58),
+  * ResNet stem (conv1/bn1) and layer1 always (backbone.py:85-89),
+  * layer2-4 when lr_backbone <= 0,
+  * the whole language backbone when freeze_bert (main_vg.py:33),
+  * everything except the mask branch when freeze_reftr.
+
+AdamW (torch semantics: weight decay on ALL params of a trainable group) or
+SGD momentum 0.9; global-norm grad clip at clip_max_norm applied over the
+whole tree before the update (engine_vg.py:62-64).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import optax
+
+from reftr_tpu.core.config import ModelConfig, TrainConfig
+from reftr_tpu.train.schedules import Schedule
+
+GROUPS = ("base", "backbone", "bert", "mask_branch", "frozen")
+
+_FROZEN_BN_LEAVES = {"weight", "bias", "running_mean", "running_var"}
+
+
+def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
+    """Returns params -> same-structure tree of group labels."""
+    train_backbone = train_cfg.lr_backbone > 0 and not model_cfg.freeze_backbone
+
+    def label_one(key_path, _v) -> str:
+        parts = []
+        for k in key_path:
+            parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        path = "/".join(parts)
+        leaf = parts[-1]
+        if "img_backbone" in path:
+            # FrozenBN tensors are buffers; stem + layer1 never train
+            if leaf in _FROZEN_BN_LEAVES:
+                return "frozen"
+            if "/conv1/" in f"/{path}/" or "layer1_" in path or "/bn1/" in f"/{path}/":
+                return "frozen"
+            return "backbone" if train_backbone else "frozen"
+        if "lang_backbone" in path:
+            return "frozen" if model_cfg.freeze_bert else "bert"
+        if "bbox_attention" in path or "mask_head" in path:
+            return "mask_branch"
+        if model_cfg.freeze_reftr:
+            return "frozen"
+        return "base"
+
+    def fn(params):
+        return jax.tree_util.tree_map_with_path(label_one, params)
+
+    return fn
+
+
+def build_optimizer(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    schedule: Schedule,
+) -> optax.GradientTransformation:
+    def lr_for(group: str) -> Callable:
+        base = {
+            "base": train_cfg.lr,
+            "backbone": train_cfg.lr_backbone,
+            "bert": train_cfg.lr_bert,
+            "mask_branch": train_cfg.lr * train_cfg.lr_mask_branch_proj,
+        }[group]
+        return lambda step: base * schedule(step)
+
+    def make(group: str) -> optax.GradientTransformation:
+        if group == "frozen":
+            return optax.set_to_zero()
+        if train_cfg.sgd:
+            # torch SGD adds wd*param to the gradient before momentum
+            return optax.chain(
+                optax.add_decayed_weights(train_cfg.weight_decay),
+                optax.sgd(lr_for(group), momentum=train_cfg.momentum),
+            )
+        return optax.adamw(lr_for(group), b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=train_cfg.weight_decay)
+
+    transforms: Dict[str, optax.GradientTransformation] = {
+        g: make(g) for g in GROUPS
+    }
+    tx = optax.multi_transform(transforms, label_fn(model_cfg, train_cfg))
+    if train_cfg.clip_max_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(train_cfg.clip_max_norm), tx)
+    return tx

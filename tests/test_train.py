@@ -1,0 +1,181 @@
+"""Training stack tests: schedules vs the reference formulas, param
+grouping, multi-device DP/TP training on the 8-device CPU mesh."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reftr_tpu.core.config import (
+    BertConfig,
+    LossConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from reftr_tpu.models.criterion import weight_dict
+from reftr_tpu.models.reftr import RefTR
+from reftr_tpu.parallel.sharding import create_mesh, param_spec
+from reftr_tpu.train.optimizer import build_optimizer, label_fn
+from reftr_tpu.train.schedules import (
+    build_schedule,
+    cosine_warmup_lr,
+    multistep_warmup_lr,
+    step_lr,
+)
+from reftr_tpu.train.state import TrainState
+from reftr_tpu.train.steps import make_train_step, shard_batch, shard_state
+
+from tests.test_model_forward import single_phrase_batch, tiny_model_config
+
+
+# --------------------------------------------------------------------------
+# schedules: golden vs the reference's python lambdas (reimplemented per the
+# published formulas in util/lr_scheduler.py semantics)
+# --------------------------------------------------------------------------
+
+def ref_multistep(steps, milestones, warm, decay=0.1, floor=0.01):
+    if steps < warm:
+        rate = (steps + 1) / warm
+    else:
+        rate = decay ** len([m for m in milestones if m <= steps])
+    return floor if rate <= floor else rate
+
+
+def ref_cosine(steps, max_t, warm, floor=0.01):
+    if steps < warm:
+        rate = (steps + 1) / warm
+    else:
+        rate = 0.5 * (math.cos((steps - warm) / (max_t - warm) * math.pi) + 1)
+    return floor if rate <= floor else rate
+
+
+def test_multistep_schedule():
+    fn = multistep_warmup_lr([100, 200], 10)
+    for s in [0, 5, 9, 10, 50, 100, 150, 200, 300]:
+        got = float(fn(jnp.asarray(s, jnp.float32)))
+        want = ref_multistep(s, [100, 200], 10)
+        assert got == pytest.approx(want, rel=1e-6), s
+
+
+def test_cosine_schedule():
+    fn = cosine_warmup_lr(1000, 20)
+    for s in [0, 19, 20, 100, 500, 990, 999]:
+        got = float(fn(jnp.asarray(s, jnp.float32)))
+        want = ref_cosine(s, 1000, 20)
+        assert got == pytest.approx(want, rel=1e-5), s
+
+
+def test_step_lr():
+    fn = step_lr(100)
+    assert float(fn(jnp.asarray(0.0))) == 1.0
+    assert float(fn(jnp.asarray(99.0))) == 1.0
+    assert float(fn(jnp.asarray(100.0))) == pytest.approx(0.1)
+    assert float(fn(jnp.asarray(250.0))) == pytest.approx(0.01, rel=1e-5)
+
+
+def test_build_schedule_dispatch():
+    t = TrainConfig(lr_schedule="CosineWarmupLR", epochs=10, warm_up_epoch=1)
+    fn = build_schedule(t, steps_per_epoch=50)
+    assert float(fn(jnp.asarray(0.0))) == pytest.approx(1 / 50)
+
+
+# --------------------------------------------------------------------------
+# param grouping
+# --------------------------------------------------------------------------
+
+def test_param_groups():
+    mc = tiny_model_config()
+    model = RefTR(mc)
+    rng = np.random.default_rng(0)
+    batch = single_phrase_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    labels = label_fn(mc, TrainConfig())(params)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in kp): v
+        for kp, v in jax.tree_util.tree_leaves_with_path(labels)
+    }
+    # BN stats and stem frozen
+    assert flat["img_backbone/bn1/running_mean"] == "frozen"
+    assert flat["img_backbone/conv1/kernel"] == "frozen"
+    assert flat["img_backbone/layer1_0/conv1/kernel"] == "frozen"
+    assert flat["img_backbone/layer1_0/bn1/weight"] == "frozen"
+    # trainable backbone convs
+    assert flat["img_backbone/layer3_0/conv2/kernel"] == "backbone"
+    assert flat["img_backbone/layer2_0/downsample_bn/weight"] == "frozen"
+    # bert
+    assert flat["lang_backbone/pooler/kernel"] == "bert"
+    # base
+    assert flat["bbox_embed/layers_0/kernel"] == "base"
+    assert flat["vl_transformer/encoder/layers_0/self_attn/q_proj/kernel"] == "base"
+
+
+def test_freeze_bert_label():
+    mc = tiny_model_config(freeze_bert=True)
+    model = RefTR(mc)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), single_phrase_batch(rng))["params"]
+    labels = label_fn(mc, TrainConfig())(params)
+    bert_labels = set(jax.tree_util.tree_leaves(labels["lang_backbone"]))
+    assert bert_labels == {"frozen"}
+
+
+# --------------------------------------------------------------------------
+# sharding rules
+# --------------------------------------------------------------------------
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert param_spec("vl/encoder/layers_0/ffn/linear1/kernel") == P(None, "model")
+    assert param_spec("vl/encoder/layers_0/ffn/linear2/kernel") == P("model", None)
+    assert param_spec("bert/layer_0/attention/q_proj/kernel") == P(None, "model")
+    assert param_spec("bert/layer_0/attention/out_proj/kernel") == P("model", None)
+    assert param_spec("bbox_embed/layers_0/kernel") == P()
+    assert param_spec("x/linear1/kernel", tensor_parallel=False) == P()
+
+
+# --------------------------------------------------------------------------
+# end-to-end: 8-device mesh training decreases the loss
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=8, model=1),
+                                      MeshConfig(data=4, model=2)])
+def test_train_loop_mesh(mesh_cfg):
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    mesh = create_mesh(mesh_cfg)
+    mc = tiny_model_config()
+    tc = TrainConfig(lr=1e-3, clip_max_norm=0.1)
+    lc = LossConfig()
+    model = RefTR(mc)
+    rng = np.random.default_rng(3)
+    batch = single_phrase_batch(rng, b=8)
+    targets = {
+        "boxes": rng.uniform(0.3, 0.6, size=(8, 1, 4)).astype(np.float32),
+        "box_valid": np.ones((8, 1), bool),
+    }
+
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    from reftr_tpu.train.schedules import build_schedule
+
+    tx = build_optimizer(mc, tc, build_schedule(tc, steps_per_epoch=100))
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+
+    wd = weight_dict(lc, mc.dec_layers, mc.aux_loss)
+    step = make_train_step(model, wd, lc, world_size=mesh.shape["data"])
+
+    with mesh:
+        state = shard_state(state, mesh)
+        b = shard_batch(batch, mesh)
+        t = shard_batch(targets, mesh)
+        first = None
+        for i in range(8):
+            state, metrics = step(state, b, t)
+            loss = float(metrics["loss"])
+            if first is None:
+                first = loss
+        assert np.isfinite(loss)
+        assert loss < first, (first, loss)
+        assert int(state.step) == 8

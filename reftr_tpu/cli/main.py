@@ -1,0 +1,207 @@
+"""CLI entry point.
+
+Mirrors the reference's flag surface (/root/reference/main_vg.py:26-164) and
+maps it onto RefTRConfig. Presets replicate configs/**/*.sh:
+
+  python -m reftr_tpu.cli.main --dataset refcoco_unc --num_feature_levels 1 \
+      --dec_layers 6 --aux_loss --img_size 640 --output_dir exps/refcoco
+  python -m reftr_tpu.cli.main --preset refcoco_det ...
+
+Unlike the reference there is no launcher script layer: multi-host runs
+bootstrap via jax.distributed (env JAX_COORDINATOR_ADDRESS / Slurm vars).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from reftr_tpu.cli.presets import PRESETS, apply_preset
+from reftr_tpu.core.config import RefTRConfig
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("RefTR-TPU visual grounding", add_help=False)
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                   help="named config mirroring the reference configs/*.sh")
+    # optimization
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_backbone", default=1e-5, type=float)
+    p.add_argument("--lr_bert", default=None, type=float,
+                   help="defaults to --lr_backbone like the reference")
+    p.add_argument("--lr_mask_branch_proj", default=1.0, type=float)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--epochs", default=60, type=int)
+    p.add_argument("--lr_drop", default=40, type=int)
+    p.add_argument("--lr_drop_epochs", default=None, type=int, nargs="+")
+    p.add_argument("--warm_up_epoch", default=2, type=int)
+    p.add_argument("--lr_decay", default=0.1, type=float)
+    p.add_argument("--lr_schedule", default="StepLR", type=str)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--ckpt_cycle", default=20, type=int)
+    p.add_argument("--sgd", action="store_true")
+    # model
+    p.add_argument("--reftr_type", default="transformer_single_phrase")
+    p.add_argument("--pretrained_model", type=str, default=None)
+    p.add_argument("--freeze_backbone", action="store_true")
+    p.add_argument("--ablation", type=str, default="none")
+    p.add_argument("--backbone", default="resnet50", type=str)
+    p.add_argument("--dilation", action="store_true")
+    p.add_argument("--position_embedding", default="sine", type=str,
+                   choices=("sine", "learned"))
+    p.add_argument("--num_feature_levels", default=1, type=int)
+    p.add_argument("--enc_layers", default=6, type=int)
+    p.add_argument("--dec_layers", default=6, type=int)
+    p.add_argument("--no_decoder", action="store_true")
+    p.add_argument("--dim_feedforward", default=2048, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--nheads", default=8, type=int)
+    p.add_argument("--masks", action="store_true")
+    p.add_argument("--freeze_reftr", action="store_true")
+    p.add_argument("--bert_model", default="bert-base-uncased", type=str)
+    p.add_argument("--freeze_bert", action="store_true")
+    p.add_argument("--max_lang_seq", default=128, type=int)
+    p.add_argument("--num_queries_per_phrase", default=1, type=int)
+    p.add_argument("--aux_loss", action="store_true")
+    # losses
+    p.add_argument("--mask_loss_coef", default=1.0, type=float)
+    p.add_argument("--dice_loss_coef", default=1.0, type=float)
+    p.add_argument("--bbox_loss_coef", default=1.0, type=float)
+    p.add_argument("--giou_loss_coef", default=1.0, type=float)
+    p.add_argument("--focal_alpha", default=0.25, type=float)
+    p.add_argument("--set_cost_class", default=1.0, type=float)
+    p.add_argument("--set_cost_bbox", default=5.0, type=float)
+    p.add_argument("--set_cost_giou", default=2.0, type=float)
+    # data
+    p.add_argument("--dataset", default="flickr30k")
+    p.add_argument("--train_split", default="trainval")
+    p.add_argument("--test_split", default=["test"], type=str, nargs="+")
+    p.add_argument("--img_size", default=640, type=int)
+    p.add_argument("--max_img_size", default=640, type=int)
+    p.add_argument("--data_root", default="./data", type=str)
+    p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--cache_mode", action="store_true")
+    # run control
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--resume_model_only", action="store_true")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--run_epoch", default=500, type=int)
+    p.add_argument("--eval", action="store_true")
+    # TPU-native knobs
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--mesh_data", default=-1, type=int)
+    p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--bert_size", default="base", choices=("base", "tiny"),
+                   help="tiny uses a small random-init language encoder "
+                        "(smoke tests; no reference equivalent)")
+    return p
+
+
+def args_to_config(args: argparse.Namespace) -> RefTRConfig:
+    cfg = RefTRConfig()
+    m, t, d, l, mesh = cfg.model, cfg.train, cfg.data, cfg.loss, cfg.mesh
+    # model
+    m.reftr_type = args.reftr_type
+    m.backbone = args.backbone
+    m.dilation = args.dilation
+    m.position_embedding = args.position_embedding
+    m.num_feature_levels = args.num_feature_levels
+    m.enc_layers = args.enc_layers
+    m.dec_layers = args.dec_layers
+    m.no_decoder = args.no_decoder
+    m.dim_feedforward = args.dim_feedforward
+    m.hidden_dim = args.hidden_dim
+    m.dropout = args.dropout
+    m.nheads = args.nheads
+    m.masks = args.masks
+    m.freeze_reftr = args.freeze_reftr
+    m.freeze_backbone = args.freeze_backbone
+    m.freeze_bert = args.freeze_bert
+    m.bert_model = args.bert_model
+    if args.bert_size == "tiny":
+        from reftr_tpu.core.config import BertConfig
+
+        m.bert = BertConfig.tiny()
+    m.bert.is_roberta = args.bert_model.split("-")[0] == "roberta"
+    m.max_lang_seq = args.max_lang_seq
+    m.num_queries_per_phrase = args.num_queries_per_phrase
+    m.aux_loss = args.aux_loss
+    m.ablation = args.ablation
+    m.dtype = args.dtype
+    m.use_pallas_attention = args.use_pallas_attention
+    m.remat = args.remat
+    # loss
+    l.bbox_loss_coef = args.bbox_loss_coef
+    l.giou_loss_coef = args.giou_loss_coef
+    l.mask_loss_coef = args.mask_loss_coef
+    l.dice_loss_coef = args.dice_loss_coef
+    l.focal_alpha = args.focal_alpha
+    l.set_cost_class = args.set_cost_class
+    l.set_cost_bbox = args.set_cost_bbox
+    l.set_cost_giou = args.set_cost_giou
+    # data
+    d.dataset = args.dataset
+    d.train_split = args.train_split
+    d.test_splits = tuple(args.test_split)
+    d.img_size = args.img_size
+    d.max_img_size = args.max_img_size
+    d.data_root = args.data_root
+    d.batch_size = args.batch_size
+    d.num_workers = args.num_workers
+    d.cache_mode = args.cache_mode
+    d.multi_phrase = args.dataset == "flickr30k"
+    # train
+    t.lr = args.lr
+    t.lr_backbone = args.lr_backbone
+    t.lr_bert = args.lr_bert if args.lr_bert is not None else args.lr_backbone
+    t.lr_mask_branch_proj = args.lr_mask_branch_proj
+    t.sgd = args.sgd
+    t.weight_decay = args.weight_decay
+    t.clip_max_norm = args.clip_max_norm
+    t.epochs = args.epochs
+    t.lr_drop = args.lr_drop
+    t.lr_drop_epochs = tuple(args.lr_drop_epochs) if args.lr_drop_epochs else None
+    t.warm_up_epoch = args.warm_up_epoch
+    t.lr_decay = args.lr_decay
+    t.lr_schedule = args.lr_schedule
+    t.ckpt_cycle = args.ckpt_cycle
+    t.seed = args.seed
+    t.output_dir = args.output_dir
+    t.resume = args.resume
+    t.auto_resume = args.auto_resume
+    t.resume_model_only = args.resume_model_only
+    t.start_epoch = args.start_epoch
+    t.run_epoch = args.run_epoch
+    t.eval_only = args.eval
+    t.pretrained_model = args.pretrained_model
+    # mesh
+    mesh.data = args.mesh_data
+    mesh.model = args.mesh_model
+    return cfg
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        "RefTR-TPU training and evaluation", parents=[get_args_parser()])
+    args = parser.parse_args(argv)
+    if args.preset:
+        apply_preset(args, args.preset, argv)
+    cfg = args_to_config(args)
+    from reftr_tpu.train.loop import run_training
+
+    result = run_training(cfg)
+    if "best_val_acc" in result:
+        print(f"best accuracy_iou0.5: {result['best_val_acc']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,11 +60,17 @@ def loss_masks(
 ) -> Dict[str, jnp.ndarray]:
     """Focal + dice on upsampled logits (reftr_segmentation.py:314-337).
 
-    The reference bilinear-upsamples predictions to the padded target size;
-    the caller must have done that already (shapes equal here). num_boxes
-    for masks is bs * num_q (reftr_segmentation.py:332-333).
+    Predictions are bilinear-upsampled (align_corners=False semantics,
+    which jax.image.resize 'linear' matches) to the target resolution.
+    num_boxes for masks is bs * num_q (reftr_segmentation.py:332-333).
     """
     b, k = pred_masks.shape[:2]
+    if pred_masks.shape[2:] != target_masks.shape[1:]:
+        import jax.image
+
+        pred_masks = jax.image.resize(
+            pred_masks, (b, k) + tuple(target_masks.shape[1:]),
+            method="linear")
     tgt = jnp.broadcast_to(target_masks[:, None], pred_masks.shape)
     src = pred_masks.reshape(b * k, -1)
     tgt = tgt.reshape(b * k, -1).astype(src.dtype)

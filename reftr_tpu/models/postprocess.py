@@ -61,6 +61,37 @@ def rec_metrics(
     }
 
 
+def segm_metrics(
+    pred_mask_logits: jnp.ndarray,  # [B, k, h, w]
+    target_masks: jnp.ndarray,  # [B, H, W] binary at canvas resolution
+    image_valid: jnp.ndarray,  # [B, H, W] bool (crop-to-size semantics)
+    threshold: float = 0.5,
+    mask_valid: jnp.ndarray | None = None,  # [B] bool (batch padding)
+) -> Dict[str, jnp.ndarray]:
+    """Per-batch seg IoU sums (engine_vg.py:144-155 semantics).
+
+    The reference bilinear-upsamples logits to the padded batch max size,
+    thresholds sigmoid > 0.5, crops to each sample's resized extent, and
+    takes mask IoU against the resized GT mask. With fixed canvases the
+    crop becomes an AND with the validity mask.
+    """
+    import jax.image
+
+    b, k = pred_mask_logits.shape[:2]
+    H, W = target_masks.shape[1:]
+    up = jax.image.resize(pred_mask_logits, (b, k, H, W), method="linear")
+    pred = (jax.nn.sigmoid(up[:, 0]) > threshold) & image_valid
+    tgt = (target_masks > 0.5) & image_valid
+    inter = jnp.logical_and(pred, tgt).sum(axis=(1, 2)).astype(jnp.float32)
+    union = jnp.logical_or(pred, tgt).sum(axis=(1, 2)).astype(jnp.float32)
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+    if mask_valid is None:
+        w = jnp.ones(b, jnp.float32)
+    else:
+        w = mask_valid.astype(jnp.float32)
+    return {"sum_seg_iou": (iou * w).sum(), "cnt_seg": w.sum()}
+
+
 def segm_masks(
     pred_mask_logits: jnp.ndarray,  # [B, k, h, w]
     out_size: Tuple[int, int],

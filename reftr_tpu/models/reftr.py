@@ -133,6 +133,10 @@ class RefTR(nn.Module):
         NHWC. backbone_feats are the raw stage outputs (for the mask head).
         """
         mc = self.config
+        if image.dtype == jnp.uint8:
+            from reftr_tpu.ops.image import normalize_images
+
+            image = normalize_images(image, self._dtype)
         feats = self.img_backbone(image)
         nfl = mc.num_feature_levels
         if nfl == 1:

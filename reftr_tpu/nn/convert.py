@@ -213,3 +213,95 @@ def convert_mlp_mapping(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, An
         "fc2": linear(sd, f"{prefix}4"),
         "ln2": layer_norm(sd, f"{prefix}5"),
     }
+
+
+def group_norm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full reference checkpoints (RefTR / RefTRSeg state dicts)
+# ---------------------------------------------------------------------------
+
+def convert_reftr(sd: Mapping[str, Any], enc_layers: int = 6,
+                  dec_layers: int = 6, bert_layers: int = 12,
+                  backbone: str = "resnet50",
+                  num_feature_levels: int = 1) -> Dict[str, Any]:
+    """Full reference RefTR(/Seg) state_dict -> reftr_tpu param tree.
+
+    Accepts checkpoints saved by the reference (module names per
+    models/reftr_transformer.py / reftr_segmentation.py; backbone nested as
+    img_backbone.0.body.*). Segmentation heads are converted when present.
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    params["img_backbone"] = convert_resnet(
+        sd, backbone, prefix="img_backbone.0.body.")
+    params["lang_backbone"] = convert_bert(
+        sd, bert_layers, prefix="lang_backbone.")
+    params["map_sentence"] = convert_mlp_mapping(sd, "map_sentence.")
+    if "map_phrase.0.weight" in sd:
+        params["map_phrase"] = convert_mlp_mapping(sd, "map_phrase.")
+    vl: Dict[str, Any] = {
+        "lang_pos_embeddings": embedding(sd, "vl_transformer.lang_pos_embeddings"),
+        "token_type_embeddings": embedding(sd, "vl_transformer.token_type_embeddings"),
+        "level_embed": _np(sd["vl_transformer.level_embed"]),
+        "encoder": convert_encoder(sd, enc_layers, "vl_transformer.encoder."),
+    }
+    if f"vl_transformer.decoder.layers.0.self_attn.in_proj_weight" in sd:
+        vl["decoder"] = convert_decoder(sd, dec_layers,
+                                        "vl_transformer.decoder.")
+    params["vl_transformer"] = vl
+    if "query_encoder.query_embed.weight" in sd:
+        params["query_encoder"] = {
+            "query_embed": _np(sd["query_encoder.query_embed.weight"]),
+            "linear1": linear(sd, "query_encoder.linear1"),
+            "linear2": linear(sd, "query_encoder.linear2"),
+            "linear3": linear(sd, "query_encoder.linear3"),
+            "context_fc": linear(sd, "query_encoder.context_out.0"),
+            "context_ln": layer_norm(sd, "query_encoder.context_out.1"),
+            "fuse_encoder_query": convert_mlp_mapping(
+                sd, "query_encoder.fuse_encoder_query."),
+        }
+    params["bbox_embed"] = convert_mlp(sd, 3, "bbox_embed.")
+    for i in range(num_feature_levels):
+        params[f"input_proj_{i}"] = {
+            "conv": conv(sd, f"input_proj.{i}.0"),
+            "norm": group_norm(sd, f"input_proj.{i}.1"),
+        }
+    # segmentation heads (RefTRSeg)
+    if "bbox_attention.q_linear.weight" in sd:
+        params["bbox_attention"] = {
+            "q_linear": linear(sd, "bbox_attention.q_linear"),
+            "k_linear": linear(sd, "bbox_attention.k_linear"),
+        }
+        mh: Dict[str, Any] = {}
+        for j in range(1, 6):
+            mh[f"lay{j}"] = conv(sd, f"mask_head.lay{j}")
+            mh[f"gn{j}"] = group_norm(sd, f"mask_head.gn{j}")
+        for j in range(1, 4):
+            mh[f"adapter{j}"] = conv(sd, f"mask_head.adapter{j}")
+        mh["out_lay"] = conv(sd, "mask_head.out_lay")
+        params["mask_head"] = mh
+    if "cem_block.c1.weight" in sd:
+        params["cem_block"] = {
+            "c1": linear(sd, "cem_block.c1"),
+            "c2": linear(sd, "cem_block.c2"),
+            "c3": linear(sd, "cem_block.c3"),
+        }
+    return params
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load a reference checkpoint; returns the model state dict
+    (handles the {'model': ...} wrapper of main_vg.py:377-385)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        return ckpt["model"]
+    return ckpt

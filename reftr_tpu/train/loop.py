@@ -1,0 +1,257 @@
+"""Top-level training driver.
+
+Rebuilds /root/reference/main_vg.py:167-431 (main()):
+  * per-process seeding with seed + process_index (:174-177),
+  * dataset/loader/model/optimizer assembly,
+  * pretrained init: reference .pth checkpoints are converted on the fly
+    (nn.convert.convert_reftr), our own orbax checkpoints restore directly;
+    both merge non-strictly with missing/unexpected key reports (:298-349),
+  * auto-resume from <output_dir>/checkpoint (:299-303), resume_model_only,
+  * epoch loop with per-epoch eval on every test split, best-checkpoint
+    tracking on accuracy_iou0.5 of the FIRST split (:399-412), periodic
+    checkpoint{epoch:04d} on lr_drop/ckpt_cycle boundaries (:373-376),
+  * JSONL epoch logging to log.txt (:419-421), eval-only mode (:351-361),
+  * bounded run_epoch chunking for time-limited queues (:158-159,365).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from reftr_tpu.core import checkpoint as ckpt_lib
+from reftr_tpu.core.config import RefTRConfig
+from reftr_tpu.core.distributed import initialize, is_main_process
+from reftr_tpu.core.logging import log_stats, master_print
+from reftr_tpu.data.build import build_refer_dataset
+from reftr_tpu.data.loader import DataLoader
+from reftr_tpu.data.native import WordPieceTokenizer
+from reftr_tpu.data.samplers import NodeShardedSampler, ShardedSampler
+from reftr_tpu.models import build_model
+from reftr_tpu.models.criterion import weight_dict as build_weight_dict
+from reftr_tpu.parallel.sharding import create_mesh
+from reftr_tpu.train.engine import evaluate, train_one_epoch
+from reftr_tpu.train.optimizer import build_optimizer
+from reftr_tpu.train.schedules import build_schedule
+from reftr_tpu.train.state import TrainState
+from reftr_tpu.train.steps import (
+    make_eval_step,
+    make_train_step,
+    shard_state,
+)
+
+
+def build_tokenizer(cfg: RefTRConfig) -> WordPieceTokenizer:
+    """Vocab file: <data_root>/<bert_model>/vocab.txt or an explicit path."""
+    candidates = [
+        cfg.model.bert_model,
+        os.path.join(cfg.data.data_root, cfg.model.bert_model, "vocab.txt"),
+        os.path.join(cfg.data.data_root, "vocab.txt"),
+    ]
+    for c in candidates:
+        if os.path.isfile(c):
+            return WordPieceTokenizer(c)
+    if cfg.data.dataset == "synthetic":
+        import tempfile
+
+        from reftr_tpu.data.datasets import write_synthetic_vocab
+
+        path = os.path.join(tempfile.gettempdir(), "reftr_synth_vocab.txt")
+        write_synthetic_vocab(path)
+        return WordPieceTokenizer(path)
+    raise FileNotFoundError(
+        f"no vocab.txt found (searched {candidates}); place the bert vocab "
+        f"under the data root or pass an explicit file path as bert_model")
+
+
+def build_loaders(cfg: RefTRConfig, tokenizer):
+    d = cfg.data
+    train_ds = build_refer_dataset(d.train_split, d, tokenizer, train=True,
+                                   masks=cfg.model.masks, seed=cfg.train.seed)
+    sampler_cls = NodeShardedSampler if d.cache_mode else ShardedSampler
+    kwargs = dict(num_replicas=jax.process_count(),
+                  rank=jax.process_index(), seed=cfg.train.seed)
+    if d.cache_mode:
+        kwargs.update(local_rank=0, local_size=1)
+    train_loader = DataLoader(
+        train_ds, d.batch_size,
+        sampler=sampler_cls(len(train_ds), shuffle=True, **kwargs),
+        num_workers=d.num_workers, drop_last=True)
+    test_loaders = {}
+    for split in d.test_splits:
+        ds = build_refer_dataset(split, d, tokenizer, train=False,
+                                 masks=cfg.model.masks, seed=cfg.train.seed)
+        test_loaders[split] = DataLoader(
+            ds, d.batch_size,
+            sampler=ShardedSampler(len(ds), shuffle=False, **{
+                k: v for k, v in kwargs.items() if k != "seed"}, seed=0),
+            num_workers=d.num_workers, drop_last=False)
+    return train_loader, test_loaders
+
+
+def _load_pretrained(params, path: str, cfg: RefTRConfig):
+    if path.endswith((".pth", ".pt", ".bin")):
+        from reftr_tpu.nn.convert import convert_reftr, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        if any(k.startswith("transformer.encoder") for k in sd):
+            # DETR checkpoint: backbone + encoder surgery
+            # (reftr_transformer.py:137-146)
+            from reftr_tpu.nn.convert import convert_encoder, convert_resnet
+
+            pre = {
+                "img_backbone": convert_resnet(
+                    sd, cfg.model.backbone, prefix="backbone.0.body."),
+                "vl_transformer": {"encoder": convert_encoder(
+                    sd, cfg.model.enc_layers, "transformer.encoder.")},
+            }
+        else:
+            pre = convert_reftr(
+                sd, cfg.model.enc_layers, cfg.model.dec_layers,
+                cfg.model.bert.num_hidden_layers, cfg.model.backbone,
+                cfg.model.num_feature_levels)
+        return ckpt_lib.load_pretrained_nonstrict(params, pre,
+                                                  log=master_print)
+    # our own orbax checkpoint
+    payload, _ = ckpt_lib.restore_checkpoint(
+        os.path.dirname(path) or ".", os.path.basename(path),
+        {"params": params}, partial=True)
+    return ckpt_lib.load_pretrained_nonstrict(params, payload["params"],
+                                              log=master_print)
+
+
+def run_training(cfg: RefTRConfig) -> Dict:
+    initialize()
+    seed = cfg.train.seed + jax.process_index()
+    np.random.seed(seed)
+
+    tokenizer = build_tokenizer(cfg)
+    train_loader, test_loaders = build_loaders(cfg, tokenizer)
+    steps_per_epoch = len(train_loader)
+    master_print(f"Steps per training epoch: {steps_per_epoch}")
+
+    model, wdict = build_model(cfg)
+    mesh = create_mesh(cfg.mesh)
+    world = mesh.shape["data"]
+
+    sample_batch, _ = next(iter(train_loader))
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    params = model.init(rng, sample_batch)["params"]
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    master_print(f"n_parameters: {n_params}")
+
+    if cfg.train.pretrained_model:
+        params = _load_pretrained(params, cfg.train.pretrained_model, cfg)
+
+    schedule = build_schedule(cfg.train, steps_per_epoch)
+    tx = build_optimizer(cfg.model, cfg.train, schedule)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(seed))
+
+    # ---- resume ----
+    out_dir = cfg.train.output_dir
+    start_epoch = cfg.train.start_epoch
+    best_val_acc = 0.0
+    resume = cfg.train.resume
+    if not resume and cfg.train.auto_resume and out_dir and \
+            ckpt_lib.checkpoint_exists(out_dir, "checkpoint"):
+        resume = os.path.join(out_dir, "checkpoint")
+    if resume:
+        rdir, rname = os.path.dirname(resume) or ".", os.path.basename(resume)
+        if cfg.train.resume_model_only:
+            payload, meta = ckpt_lib.restore_checkpoint(
+                rdir, rname, {"params": state.params}, partial=True)
+            state = state.replace(params=payload["params"])
+        else:
+            payload, meta = ckpt_lib.restore_checkpoint(
+                rdir, rname,
+                {"params": state.params, "opt_state": state.opt_state})
+            state = state.replace(
+                params=payload["params"], opt_state=payload["opt_state"],
+                step=np.asarray(meta.get("step", 0), np.int32))
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_val_acc = float(meta.get("best_val_acc", 0.0))
+        master_print(f"Resumed from {resume} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, wdict, cfg.loss, world_size=world,
+                                 with_masks=cfg.model.masks,
+                                 donate=cfg.train.donate_state,
+                                 lr_fn=lambda s: cfg.train.lr * schedule(s))
+    eval_step = make_eval_step(model, wdict, cfg.loss, world_size=world,
+                               with_masks=cfg.model.masks)
+
+    def run_eval(params) -> Dict[str, Dict]:
+        all_stats = {}
+        for split, loader in test_loaders.items():
+            stats, results = evaluate(
+                eval_step, params, loader, mesh,
+                with_masks=cfg.model.masks, weight_dict=wdict,
+                collect_results=bool(out_dir), print_fn=master_print)
+            master_print(f"[{split}] " + json.dumps(
+                {k: round(v, 4) for k, v in stats.items()}))
+            if out_dir and is_main_process():
+                os.makedirs(out_dir, exist_ok=True)
+                with open(os.path.join(
+                        out_dir,
+                        f"{cfg.data.dataset}_{split}_result.json"), "w") as f:
+                    json.dump(results, f)
+            all_stats[split] = stats
+        return all_stats
+
+    with mesh:
+        state = shard_state(state, mesh)
+
+        if cfg.train.eval_only:
+            return {"test": run_eval(state.params)}
+
+        end_epoch = min(cfg.train.epochs, start_epoch + cfg.train.run_epoch)
+        history = []
+        for epoch in range(start_epoch, end_epoch):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            state, train_stats = train_one_epoch(
+                train_step, state, train_loader, epoch, mesh,
+                weight_dict=wdict, print_fn=master_print)
+            test_stats = run_eval(state.params)
+
+            if out_dir and is_main_process():
+                ckpt_lib.save_checkpoint(
+                    out_dir, "checkpoint", jax.device_get(state.params),
+                    jax.device_get(state.opt_state), int(state.step), epoch,
+                    best_val_acc, cfg)
+                if (epoch + 1) % cfg.train.lr_drop == 0 or \
+                        (epoch + 1) % cfg.train.ckpt_cycle == 0:
+                    ckpt_lib.save_checkpoint(
+                        out_dir, f"checkpoint{epoch:04d}",
+                        jax.device_get(state.params), None, int(state.step),
+                        epoch, best_val_acc, cfg)
+
+            first_split = next(iter(test_stats)) if test_stats else None
+            if first_split:
+                acc = test_stats[first_split].get("accuracy_iou0.5", 0.0)
+                if acc > best_val_acc:
+                    best_val_acc = acc
+                    master_print(
+                        f"new best accuracy_iou0.5 {best_val_acc:.4f}")
+                    if out_dir and is_main_process():
+                        ckpt_lib.save_checkpoint(
+                            out_dir, "checkpoint_best",
+                            jax.device_get(state.params), None,
+                            int(state.step), epoch, best_val_acc, cfg)
+
+            log_entry = {
+                **{f"train_{k}": v for k, v in train_stats.items()},
+                **{f"test_{s}_{k}": v for s, st in test_stats.items()
+                   for k, v in st.items()},
+                "epoch": epoch,
+                "n_parameters": n_params,
+                "epoch_time": round(time.time() - t0, 1),
+            }
+            log_stats(out_dir, log_entry)
+            history.append(log_entry)
+    return {"history": history, "best_val_acc": best_val_acc}

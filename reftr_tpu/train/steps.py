@@ -34,9 +34,11 @@ def make_train_step(
     world_size: int = 1,
     with_masks: bool = False,
     donate: bool = True,
+    lr_fn: Callable | None = None,
 ) -> Callable[[TrainState, Dict, Dict], Tuple[TrainState, Dict]]:
     """Builds the fused train step. Call under a Mesh context (or single
-    device); shard the inputs with `shard_batch` first on multi-device."""
+    device); shard the inputs with `shard_batch` first on multi-device.
+    lr_fn(step) -> learning rate, reported in the metrics dict."""
 
     def step_fn(state: TrainState, batch: Dict, targets: Dict):
         step_rng = jax.random.fold_in(state.rng, state.step)
@@ -56,6 +58,8 @@ def make_train_step(
         metrics = dict(losses)
         metrics["loss"] = tl
         metrics["grad_norm"] = grad_norm
+        if lr_fn is not None:
+            metrics["lr"] = lr_fn(state.step.astype(jnp.float32))
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -80,6 +84,12 @@ def make_eval_step(
                            with_masks=with_masks)
         sums = rec_metrics(out["pred_boxes"], targets["boxes"],
                            targets["box_valid"])
+        if with_masks and "pred_masks" in out:
+            from reftr_tpu.models.postprocess import segm_metrics
+
+            sums.update(segm_metrics(
+                out["pred_masks"], targets["masks"], batch["image_valid"],
+                mask_valid=targets.get("mask_valid")))
         return out, losses, sums
 
     return jax.jit(step_fn)

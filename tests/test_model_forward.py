@@ -12,7 +12,7 @@ from reftr_tpu.models.reftr import RefTR
 
 
 def tiny_model_config(**kw):
-    return ModelConfig(
+    base = dict(
         backbone="resnet50",
         enc_layers=2,
         dec_layers=2,
@@ -21,8 +21,9 @@ def tiny_model_config(**kw):
         nheads=4,
         bert=BertConfig.tiny(),
         aux_loss=True,
-        **kw,
     )
+    base.update(kw)
+    return ModelConfig(**base)
 
 
 def single_phrase_batch(rng, b=2, hw=64, s=12):

@@ -108,6 +108,11 @@ class RefTR(nn.Module):
                 dtype=dtype, name="query_encoder")
         self.bbox_embed = MLP(mc.hidden_dim, 4, 3, dtype=dtype,
                               final_zero_init=True, name="bbox_embed")
+        from reftr_tpu.nn.posembed import ImagePositionEmbedding
+
+        self.pos_embedding = ImagePositionEmbedding(
+            mc.hidden_dim, mc.position_embedding, dtype=dtype,
+            name="pos_embedding")
 
         # input projections
         nfl = mc.num_feature_levels
@@ -151,8 +156,7 @@ class RefTR(nn.Module):
         for src in srcs:
             v = downsample_mask(image_valid, src.shape[1:3])
             valids.append(v)
-            pos = sine_position_embedding(v, mc.hidden_dim // 2)
-            poss.append(pos.astype(src.dtype))
+            poss.append(self.pos_embedding(v).astype(src.dtype))
         return srcs, valids, poss, feats
 
     def encode_language(self, sentence, sentence_valid, deterministic):

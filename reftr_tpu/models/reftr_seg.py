@@ -59,10 +59,9 @@ class RefTRSeg(RefTR):
         feats = self.img_backbone(image)  # 4 levels (masks=True)
         src = self.input_proj[0](feats[-1])
         from reftr_tpu.nn.resnet import downsample_mask
-        from reftr_tpu.ops.posenc import sine_position_embedding
 
         img_valid = downsample_mask(batch["image_valid"], src.shape[1:3])
-        pos = sine_position_embedding(img_valid, mc.hidden_dim // 2)
+        pos = self.pos_embedding(img_valid)
         srcs, img_valids, img_poss = [src], [img_valid], [pos.astype(src.dtype)]
 
         sentence_feat, pooled = self.encode_language(

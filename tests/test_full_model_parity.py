@@ -199,3 +199,87 @@ def test_multi_phrase_full_parity(ref_modules, rng):
     np.testing.assert_allclose(
         got_boxes[valid[:, :, 0]], want_boxes[valid[:, :, 0]],
         rtol=1e-3, atol=1e-3)
+
+
+def test_seg_full_parity(ref_modules, rng):
+    """RefTRSeg end-to-end: boxes AND mask logits vs the reference."""
+    ref_rt, ref_vl, ref_bb = ref_modules
+    sys.path.insert(0, REF)
+    try:
+        import models.reftr_segmentation as ref_seg
+    finally:
+        sys.path.remove(REF)
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel as HFBertModel
+
+    H2, HD2 = 8, 128  # mask head GroupNorm(8) needs 2*hidden+heads % 8 == 0
+
+    class A:
+        lr_backbone = 0.0
+        masks = True
+        num_feature_levels = 1
+        backbone = "resnet50"
+        dilation = False
+        position_embedding = "sine"
+        hidden_dim = HD2
+        nheads = H2
+        enc_layers = ENC
+        dec_layers = DEC
+        dim_feedforward = FFN
+        dropout = 0.0
+        max_lang_seq = 128
+
+    torch.manual_seed(21)
+    hf_cfg = HFBertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    ref_model = ref_seg.RefTRSeg(
+        img_backbone=ref_bb.build_backbone(A),
+        lang_backbone=HFBertModel(hf_cfg),
+        vl_transformer=ref_vl.build_vl_transformer(A),
+        num_feature_levels=1, num_queries_per_phrase=1).eval()
+    # randomize frozen BN stats
+    g = torch.Generator().manual_seed(22)
+    sd = ref_model.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+    ref_model.load_state_dict(sd)
+
+    torch_samples, our_batch = make_inputs(rng)
+    with torch.no_grad():
+        want = ref_model(torch_samples)
+
+    import jax
+
+    from reftr_tpu.core.config import BertConfig, ModelConfig
+    from reftr_tpu.models.reftr_seg import RefTRSeg
+    from reftr_tpu.nn.convert import convert_reftr
+
+    mc = ModelConfig(
+        hidden_dim=HD2, nheads=H2, enc_layers=ENC, dec_layers=DEC,
+        dim_feedforward=FFN, dropout=0.0, masks=True,
+        bert=BertConfig.tiny(), dtype="float32")
+    model = RefTRSeg(mc)
+    params = convert_reftr(ref_model.state_dict(), ENC, DEC, bert_layers=2,
+                           backbone="resnet50", num_feature_levels=1)
+    out = model.apply({"params": params}, our_batch)
+
+    want_boxes = want["pred_boxes"].numpy()
+    got_boxes = np.asarray(out["pred_boxes"])
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-3, atol=1e-3)
+
+    # mask logits: reference [B*nq, 1, h, w] -> ours [B, nq, h, w]
+    want_masks = want["pred_masks"].numpy()
+    got_masks = np.asarray(out["pred_masks"])
+    wm = want_masks.reshape(got_masks.shape)
+    np.testing.assert_allclose(got_masks, wm, rtol=1e-2, atol=5e-3)
+
+    # attention maps
+    want_att = want["mask_att"].numpy()  # [B, heads, h, w]
+    got_att = np.asarray(out["mask_att"])
+    np.testing.assert_allclose(got_att, want_att, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,83 @@
+"""Training-loop integration: run_training on the synthetic fixture with
+checkpointing, auto-resume, and eval-only on the saved checkpoint."""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from reftr_tpu.core.config import (
+    BertConfig,
+    DataConfig,
+    MeshConfig,
+    ModelConfig,
+    RefTRConfig,
+    TrainConfig,
+)
+
+
+def micro_config(out_dir, epochs=1):
+    return RefTRConfig(
+        model=ModelConfig(
+            enc_layers=1, dec_layers=1, dim_feedforward=32, hidden_dim=32,
+            nheads=4, bert=BertConfig.tiny(), aux_loss=False,
+            dtype="float32"),
+        data=DataConfig(dataset="synthetic", train_split="train",
+                        test_splits=("val",), img_size=32, max_img_size=32,
+                        max_query_len=12, batch_size=8, num_workers=2),
+        mesh=MeshConfig(data=-1, model=1),
+        train=TrainConfig(lr=1e-3, epochs=epochs, warm_up_epoch=1,
+                          lr_schedule="CosineWarmupLR", output_dir=out_dir,
+                          seed=0, donate_state=False),
+    )
+
+
+@pytest.mark.slow
+def test_run_training_and_resume():
+    from reftr_tpu.train.loop import run_training
+
+    out = tempfile.mkdtemp()
+    cfg = micro_config(out, epochs=1)
+    result = run_training(cfg)
+    assert len(result["history"]) == 1
+    assert os.path.isdir(os.path.join(out, "checkpoint"))
+    log_path = os.path.join(out, "log.txt")
+    assert os.path.exists(log_path)
+    entry = json.loads(open(log_path).readline())
+    assert "train_loss" in entry and "test_val_accuracy_iou0.5" in entry
+    first_loss = entry["train_loss"]
+
+    # auto-resume continues at epoch 1
+    cfg2 = micro_config(out, epochs=2)
+    cfg2.train.auto_resume = True
+    result2 = run_training(cfg2)
+    assert len(result2["history"]) == 1  # only epoch 1 ran
+    assert result2["history"][0]["epoch"] == 1
+    assert result2["history"][0]["train_loss"] < first_loss * 1.5
+
+    # eval-only from the explicit checkpoint (model-only restore)
+    cfg3 = micro_config(out, epochs=2)
+    cfg3.train.eval_only = True
+    cfg3.train.resume = os.path.join(out, "checkpoint")
+    cfg3.train.resume_model_only = True
+    stats = run_training(cfg3)
+    assert "accuracy_iou0.5" in stats["test"]["val"]
+
+
+def test_learned_position_embedding():
+    import jax
+
+    from reftr_tpu.models.reftr import RefTR
+    from tests.test_model_forward import single_phrase_batch, tiny_model_config
+
+    rng = np.random.default_rng(0)
+    mc = tiny_model_config(position_embedding="learned")
+    model = RefTR(mc)
+    batch = single_phrase_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    # learned tables exist and forward works
+    assert "row_embed" in params["params"]["pos_embedding"]
+    out = model.apply(params, batch)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()

@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 A100_PYTORCH_BASELINE_IMG_PER_SEC = 85.0
-BATCH = 32
+BATCH = 64
 STEPS = 20
 WARMUP = 3
 

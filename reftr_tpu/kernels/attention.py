@@ -129,9 +129,13 @@ def fused_attention(
         bias = jnp.zeros((b, sk), jnp.float32)
     else:
         bias = jnp.where(valid_mask, 0.0, NEG_INF).astype(jnp.float32)
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    # the kernel computes in f32 (bf16 kernels trip Mosaic's broadcast
+    # verifier on this jax version; f32 also matches the XLA path's
+    # fp32-softmax numerics exactly). Cast back at the end.
+    in_dtype = q.dtype
+    qt = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+    kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
     block_q = min(block_q, max(8, sq))
     out = _attention(qt, kt, vt, bias, block_q, interpret)
-    return out.transpose(0, 2, 1, 3)
+    return out.transpose(0, 2, 1, 3).astype(in_dtype)

@@ -99,6 +99,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", default=1, type=int)
     p.add_argument("--use_pallas_attention", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="capture a jax.profiler trace of early steps")
     p.add_argument("--bert_size", default="base", choices=("base", "tiny"),
                    help="tiny uses a small random-init language encoder "
                         "(smoke tests; no reference equivalent)")
@@ -182,6 +184,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     t.run_epoch = args.run_epoch
     t.eval_only = args.eval
     t.pretrained_model = args.pretrained_model
+    t.profile_dir = args.profile_dir
     # mesh
     mesh.data = args.mesh_data
     mesh.model = args.mesh_model

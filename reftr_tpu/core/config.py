@@ -184,6 +184,7 @@ class TrainConfig:
     eval_only: bool = False
     # loss/metric accumulation dtype stays float32 regardless of compute dtype
     donate_state: bool = True
+    profile_dir: str = ""  # jax.profiler trace of a few early steps
 
 
 @dataclass

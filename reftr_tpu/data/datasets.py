@@ -45,10 +45,10 @@ SUPPORTED_DATASETS = {
 
 def load_annotations(data_root: str, dataset: str,
                      split: str) -> List[tuple]:
-    """Load {dataset}_{split}.pth torch pickles (resc_refer_dataset.py:
-    110-116); trainval = train+val for non-referit."""
-    import torch
-
+    """Load {dataset}_{split} annotations (resc_refer_dataset.py:110-116);
+    trainval = train+val for non-referit. Prefers torch-free .json files
+    (from reftr_tpu.tools.convert_annotations), falls back to the
+    reference's .pth torch pickles."""
     path = osp.join(data_root, dataset)
     valid = SUPPORTED_DATASETS[dataset]["splits"]
     if split not in valid:
@@ -58,8 +58,17 @@ def load_annotations(data_root: str, dataset: str,
         splits = ["train", "val"]
     images: List[tuple] = []
     for s in splits:
-        images += torch.load(osp.join(path, f"{dataset}_{s}.pth"),
-                             weights_only=False)
+        json_path = osp.join(path, f"{dataset}_{s}.json")
+        if osp.exists(json_path):
+            import json
+
+            with open(json_path) as f:
+                images += [tuple(r) for r in json.load(f)]
+        else:
+            import torch
+
+            images += torch.load(osp.join(path, f"{dataset}_{s}.pth"),
+                                 weights_only=False)
     return images
 
 

@@ -191,3 +191,66 @@ class WordPieceTokenizer:
             if s <= char_pos < e:
                 return i
         return None
+
+
+class ByteLevelBPETokenizer:
+    """RoBERTa-style byte-level BPE with char->token offsets.
+
+    Loads standard vocab.json + merges.txt. Same surface as
+    WordPieceTokenizer (encode with specials, pad/truncate, char_to_token).
+    """
+
+    def __init__(self, vocab_json: str, merges_txt: str):
+        lib = get_lib()
+        self._lib = lib
+        lib.rbpe_create.restype = ctypes.c_void_p
+        lib.rbpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.rbpe_free.argtypes = [ctypes.c_void_p]
+        lib.rbpe_vocab_size.restype = ctypes.c_int
+        lib.rbpe_vocab_size.argtypes = [ctypes.c_void_p]
+        for f in ("rbpe_pad_id", "rbpe_bos_id", "rbpe_eos_id"):
+            getattr(lib, f).restype = ctypes.c_int
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        lib.rbpe_encode.restype = ctypes.c_int
+        lib.rbpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        self._h = lib.rbpe_create(vocab_json.encode(), merges_txt.encode())
+        if not self._h:
+            raise FileNotFoundError((vocab_json, merges_txt))
+        self.pad_id = lib.rbpe_pad_id(self._h)
+        self.cls_id = lib.rbpe_bos_id(self._h)  # <s>
+        self.sep_id = lib.rbpe_eos_id(self._h)  # </s>
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.rbpe_free(self._h)
+            self._h = None
+
+    @property
+    def vocab_size(self) -> int:
+        return self._lib.rbpe_vocab_size(self._h)
+
+    def encode(self, text: str, max_length: int, pad: bool = True):
+        cap = max(max_length, 4)
+        ids = np.zeros(cap, np.int32)
+        st = np.zeros(cap, np.int32)
+        en = np.zeros(cap, np.int32)
+        n = self._lib.rbpe_encode(
+            self._h, text.encode(), 1, max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            en.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        mask = np.zeros(max_length, np.int32)
+        mask[:n] = 1
+        out_ids = np.full(max_length, self.pad_id, np.int32)
+        out_ids[:n] = ids[:n]
+        offsets = np.zeros((max_length, 2), np.int32)
+        offsets[:n, 0] = st[:n]
+        offsets[:n, 1] = en[:n]
+        if not pad:
+            return out_ids[:n], mask[:n], offsets[:n]
+        return out_ids, mask, offsets
+
+    char_to_token = staticmethod(WordPieceTokenizer.char_to_token)

@@ -43,16 +43,32 @@ def train_one_epoch(
     print_freq: int = 50,
     weight_dict: Optional[Dict[str, float]] = None,
     print_fn=print,
+    profile_dir: str = "",
+    profile_steps=(10, 15),
 ):
-    """Returns (state, stats dict of epoch-global averages)."""
+    """Returns (state, stats dict of epoch-global averages).
+
+    profile_dir: when set (epoch 0 only), captures a jax.profiler trace of
+    steps [profile_steps) — the rebuild's answer to the reference's lack of
+    a profiler (SURVEY.md §5); view with tensorboard or xprof.
+    """
     from reftr_tpu.train.steps import shard_batch
 
     logger = MetricLogger(print_fn=print_fn)
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
     prev_loss = None  # async NaN tripwire: check step i-1 while i runs
+    tracing = False
+    i = 0
     for samples, targets in logger.log_every(loader, print_freq, header,
                                              total=len(loader)):
+        if profile_dir and epoch == 0:
+            if i == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            elif i == profile_steps[1] and tracing:
+                jax.profiler.stop_trace()
+                tracing = False
         targets = _strip_target(targets)
         if mesh is not None:
             samples = shard_batch(samples, mesh)
@@ -66,6 +82,9 @@ def train_one_epoch(
         prev_loss = metrics["loss"]
         host = {k: float(v) for k, v in metrics.items()}
         logger.update(**host)
+        i += 1
+    if tracing:
+        jax.profiler.stop_trace()
     if prev_loss is not None and not math.isfinite(float(prev_loss)):
         print_fn(f"Loss is {float(prev_loss)}, stopping training")
         sys.exit(1)

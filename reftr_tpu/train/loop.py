@@ -46,8 +46,22 @@ from reftr_tpu.train.steps import (
 )
 
 
-def build_tokenizer(cfg: RefTRConfig) -> WordPieceTokenizer:
-    """Vocab file: <data_root>/<bert_model>/vocab.txt or an explicit path."""
+def build_tokenizer(cfg: RefTRConfig):
+    """bert-*: <data_root>/<bert_model>/vocab.txt (WordPiece);
+    roberta-*: <data_root>/<bert_model>/{vocab.json,merges.txt} (byte BPE);
+    or an explicit vocab file path as bert_model."""
+    if cfg.model.bert_model.split("-")[0] == "roberta":
+        from reftr_tpu.data.native import ByteLevelBPETokenizer
+
+        d = os.path.join(cfg.data.data_root, cfg.model.bert_model)
+        for base in (d, cfg.model.bert_model, cfg.data.data_root):
+            vj = os.path.join(base, "vocab.json")
+            mt = os.path.join(base, "merges.txt")
+            if os.path.isfile(vj) and os.path.isfile(mt):
+                return ByteLevelBPETokenizer(vj, mt)
+        raise FileNotFoundError(
+            f"no vocab.json/merges.txt for {cfg.model.bert_model} under "
+            f"{cfg.data.data_root}")
     candidates = [
         cfg.model.bert_model,
         os.path.join(cfg.data.data_root, cfg.model.bert_model, "vocab.txt"),
@@ -216,7 +230,8 @@ def run_training(cfg: RefTRConfig) -> Dict:
             t0 = time.time()
             state, train_stats = train_one_epoch(
                 train_step, state, train_loader, epoch, mesh,
-                weight_dict=wdict, print_fn=master_print)
+                weight_dict=wdict, print_fn=master_print,
+                profile_dir=cfg.train.profile_dir)
             test_stats = run_eval(state.params)
 
             if out_dir and is_main_process():

@@ -188,3 +188,21 @@ def test_flickr_multiphrase_spans(rng, synth_tok):
     # phrase-validity rule used by the model: 3rd token of the mask
     assert sample["phrase_valid"][0, 2] == 1
     assert sample["phrase_valid"][2, 2] == 0
+
+
+def test_annotation_json_conversion(rng, synth_tok):
+    """convert .pth -> .json, then the dataset loads from JSON (no torch)."""
+    from reftr_tpu.tools.convert_annotations import convert_file
+
+    tmp = tempfile.mkdtemp()
+    data_root, im_dir = _write_resc_pth(tmp, rng)
+    pth = os.path.join(data_root, "unc", "unc_val.pth")
+    out = convert_file(pth)
+    assert out.endswith("unc_val.json")
+    os.remove(pth)  # force the JSON path
+    ds = ReferDatasetResc(data_root, im_dir, "unc", "val", synth_tok,
+                          img_size=64, max_img_size=64, max_query_len=8)
+    assert len(ds) == 6
+    sample, target = ds[1]
+    assert sample["image"].shape == (64, 64, 3)
+    assert target["boxes"].shape == (1, 4)

@@ -92,6 +92,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--run_epoch", default=500, type=int)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--visualize", action="store_true",
+                   help="dump qualitative JPEGs during --eval")
     # TPU-native knobs
     p.add_argument("--dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
@@ -185,6 +187,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     t.eval_only = args.eval
     t.pretrained_model = args.pretrained_model
     t.profile_dir = args.profile_dir
+    t.visualize = args.visualize
     # mesh
     mesh.data = args.mesh_data
     mesh.model = args.mesh_model

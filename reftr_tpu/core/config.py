@@ -185,6 +185,7 @@ class TrainConfig:
     # loss/metric accumulation dtype stays float32 regardless of compute dtype
     donate_state: bool = True
     profile_dir: str = ""  # jax.profiler trace of a few early steps
+    visualize: bool = False  # dump qualitative JPEGs during --eval
 
 
 @dataclass

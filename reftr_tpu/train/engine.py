@@ -92,6 +92,42 @@ def train_one_epoch(
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 
+def _dump_visuals(out_dir, idx_base, samples, targets, out):
+    """Per-sample qualitative dumps (boxes at canvas scale, masks,
+    attention), first query of the first phrase."""
+    from reftr_tpu.models.postprocess import decode_boxes
+    from reftr_tpu.ops.boxes import box_cxcywh_to_xyxy
+    from reftr_tpu.tools.visualize import dump_eval_visuals
+
+    images = np.asarray(samples["image"])
+    if images.dtype != np.uint8:  # normalized floats -> rough un-normalize
+        images = np.clip(images * 58.0 + 116.0, 0, 255).astype(np.uint8)
+    sizes = np.asarray(targets["size"]).astype(np.float32)  # resized (h, w)
+    pred = np.asarray(decode_boxes(out["pred_boxes"]))  # [B, P, 4] normalized
+    gt = np.asarray(box_cxcywh_to_xyxy(np.asarray(targets["boxes"])))
+    masks = out.get("pred_masks")
+    att = out.get("mask_att")
+    for i in range(images.shape[0]):
+        h, w = sizes[i]
+        scale = np.array([w, h, w, h], np.float32)
+        pm = gm = at = None
+        if masks is not None:
+            import jax.image
+            import jax.nn
+
+            m = np.asarray(masks)[i, 0]
+            H, W = images.shape[1:3]
+            up = np.asarray(jax.image.resize(m, (H, W), method="linear"))
+            pm = 1.0 / (1.0 + np.exp(-up)) > 0.5
+        if "masks" in targets:
+            gm = np.asarray(targets["masks"])[i]
+        if att is not None:
+            at = np.asarray(att)[i]
+        dump_eval_visuals(out_dir, idx_base + i, images[i],
+                          pred[i, 0] * scale, gt[i, 0] * scale,
+                          pred_mask=pm, gt_mask=gm, attention=at)
+
+
 def evaluate(
     eval_step,
     params,
@@ -102,9 +138,15 @@ def evaluate(
     print_freq: int = 50,
     collect_results: bool = False,
     print_fn=print,
+    visualize_dir: str = "",
+    visualize_limit: int = 64,
 ):
     """Returns (stats, results_dict). stats has accuracy_iou0.5 / miou
-    (+ seg_miou); results_dict maps sample index -> scaled xyxy boxes."""
+    (+ seg_miou); results_dict maps sample index -> scaled xyxy boxes.
+
+    visualize_dir: when set, dumps qualitative JPEGs (pred+GT boxes, masks,
+    attention heatmaps) for the first visualize_limit samples, mirroring
+    the reference's --eval visualization (engine_vg.py:86-197)."""
     from reftr_tpu.train.steps import shard_batch
 
     logger = MetricLogger(print_fn=print_fn)
@@ -131,6 +173,8 @@ def evaluate(
         if with_masks and "sum_seg_iou" in batch_sums:
             sums["sum_seg_iou"] += float(batch_sums["sum_seg_iou"])
             sums["cnt_seg"] += float(batch_sums["cnt_seg"])
+        if visualize_dir and idx_base < visualize_limit:
+            _dump_visuals(visualize_dir, idx_base, samples, full_targets, out)
         if collect_results:
             scaled_boxes = decode_boxes(
                 out["pred_boxes"], full_targets["orig_size"].astype(np.float32),
@@ -142,7 +186,7 @@ def evaluate(
                     "image_id", np.arange(idx_base, idx_base + arr.shape[0])
                 )[i])
                 results_dict[image_id] = arr[i][valid[i]].tolist()
-            idx_base += arr.shape[0]
+        idx_base += np.asarray(samples["image"]).shape[0]
 
     logger.synchronize_between_processes()
     sums = allreduce_sum_host(sums)

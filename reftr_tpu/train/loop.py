@@ -202,10 +202,14 @@ def run_training(cfg: RefTRConfig) -> Dict:
     def run_eval(params) -> Dict[str, Dict]:
         all_stats = {}
         for split, loader in test_loaders.items():
+            vis_dir = ""
+            if cfg.train.eval_only and cfg.train.visualize and out_dir:
+                vis_dir = out_dir
             stats, results = evaluate(
                 eval_step, params, loader, mesh,
                 with_masks=cfg.model.masks, weight_dict=wdict,
-                collect_results=bool(out_dir), print_fn=master_print)
+                collect_results=bool(out_dir), print_fn=master_print,
+                visualize_dir=vis_dir)
             master_print(f"[{split}] " + json.dumps(
                 {k: round(v, 4) for k, v in stats.items()}))
             if out_dir and is_main_process():

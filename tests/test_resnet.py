@@ -182,3 +182,26 @@ def test_downsample_mask_matches_torch_nearest(rng):
     )
     got = np.asarray(downsample_mask(m, (5, 7)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dc5_dilation_stride16(rng):
+    """DC5: layer4 dilated instead of strided (backbone.py:117-125)."""
+    import jax
+
+    model = ResNet("resnet50", return_interm_layers=False, dilation=True)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    (f4,) = model.apply(params, x)
+    assert f4.shape == (1, 4, 4, 2048)  # stride 16, not 32
+
+
+def test_resnet101_shapes(rng):
+    import jax
+
+    model = ResNet("resnet101", return_interm_layers=False)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    # 23 blocks in layer3
+    assert "layer3_22" in params["params"]
+    (f4,) = model.apply(params, x)
+    assert f4.shape == (1, 2, 2, 2048)

@@ -206,3 +206,51 @@ def test_annotation_json_conversion(rng, synth_tok):
     sample, target = ds[1]
     assert sample["image"].shape == (64, 64, 3)
     assert target["boxes"].shape == (1, 4)
+
+
+def test_random_affine_and_letterbox(rng):
+    from reftr_tpu.data.affine import letterbox, random_affine, wrap_points
+
+    img = rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)
+    boxes = np.array([[20, 10, 60, 45]], np.float32)
+
+    # identity-ish affine (zero ranges) keeps the box where it was
+    g = np.random.default_rng(0)
+    out, _, b2 = random_affine(img, None, boxes, g, degrees=(0, 0),
+                               translate=(0, 0), scale=(1, 1), shear=(0, 0))
+    assert out.shape == (90, 90, 3)
+    np.testing.assert_allclose(b2[0], boxes[0], atol=1.0)
+
+    # a real warp keeps boxes inside the canvas and areas sane
+    g = np.random.default_rng(3)
+    out, mask, b3 = random_affine(
+        img, (rng.uniform(size=(60, 90)) > 0.5).astype(np.uint8) * 255,
+        boxes, g)
+    assert (b3 >= 0).all() and (b3 <= 90).all()
+    assert (b3[:, 2] > b3[:, 0]).all() and (b3[:, 3] > b3[:, 1]).all()
+    assert mask.shape == (90, 90)
+
+    lb, lmask, ratio, dw, dh = letterbox(img, None, 64)
+    assert lb.shape == (64, 64, 3)
+    assert ratio == 64 / 90
+
+
+def test_affine_rotation_matches_cv2():
+    import cv2
+    import math
+    from reftr_tpu.data.affine import _affine_matrix
+
+    class FixedRng:
+        """rng.random() sequence: rotation-a, scale-s, tx, ty, shx, shy."""
+        def __init__(self, vals):
+            self.vals = list(vals)
+        def random(self):
+            return self.vals.pop(0)
+
+    # rotation+scale only (translate/shear zeroed by ranges)
+    M, a = _affine_matrix((60, 90), FixedRng([0.73, 0.4, 0.5, 0.5, 0.5, 0.5]),
+                          degrees=(-10, 10), translate=(0, 0),
+                          scale=(0.9, 1.1), shear=(0, 0))
+    s = 0.4 * 0.2 + 0.9
+    cvR = cv2.getRotationMatrix2D(angle=a, center=(45.0, 30.0), scale=s)
+    np.testing.assert_allclose(M[:2], cvR, atol=1e-9)

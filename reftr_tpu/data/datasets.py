@@ -180,10 +180,17 @@ class FlickrMultiPhraseDataset:
         seed: int = 0,
         dataset: str = "flickr30k_entities",
     ):
-        import torch
+        json_path = osp.join(data_root, dataset, f"{dataset}_{split}.json")
+        if osp.exists(json_path):
+            import json
 
-        path = osp.join(data_root, dataset, f"{dataset}_{split}.pth")
-        self.records = torch.load(path, weights_only=False)
+            with open(json_path) as f:
+                self.records = [tuple(r) for r in json.load(f)]
+        else:
+            import torch
+
+            path = osp.join(data_root, dataset, f"{dataset}_{split}.pth")
+            self.records = torch.load(path, weights_only=False)
         self.im_dir = im_dir
         self.tokenizer = tokenizer
         self.img_size = img_size
@@ -408,3 +415,63 @@ def write_synthetic_vocab(path: str) -> str:
     with open(path, "w") as f:
         f.write("\n".join(SYNTHETIC_VOCAB) + "\n")
     return path
+
+
+class SyntheticMultiPhraseDataset:
+    """Multi-phrase fixture (flickr30k-entities-shaped): one sentence names
+    BOTH rectangles ("the red box on the left and the green box on the
+    right"), each phrase grounded to its own box. Exercises per-phrase
+    tokenization, char->token spans, and phrase padding end to end."""
+
+    def __init__(self, tokenizer: WordPieceTokenizer, n: int = 128,
+                 img_size: int = 64, max_sentence_len: int = 20,
+                 phrase_seq_len: int = 8, max_num_phrases: int = 4,
+                 seed: int = 0, canvas: Optional[int] = None):
+        self.tokenizer = tokenizer
+        self.n = n
+        self.img_size = img_size
+        self.canvas = canvas or img_size
+        self.max_sentence_len = max_sentence_len
+        self.phrase_seq_len = phrase_seq_len
+        self.max_num_phrases = max_num_phrases
+        self.rng = np.random.default_rng(seed)
+        self._packer = FlickrMultiPhraseDataset.pack_language
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(5000 + idx)
+        s = self.img_size
+        img = np.full((s, s, 3), 128, np.uint8)
+        colors = list(_COLORS)
+        c_left = colors[rng.integers(len(colors))]
+        c_right = [c for c in colors if c != c_left][rng.integers(2)]
+        boxes = []
+        for side, color in (("left", c_left), ("right", c_right)):
+            w = int(rng.integers(s // 6, s // 3))
+            h = int(rng.integers(s // 6, s // 3))
+            x0 = int(rng.integers(0, s // 2 - w)) if side == "left" else int(
+                rng.integers(s // 2, s - w))
+            y0 = int(rng.integers(0, s - h))
+            img[y0:y0 + h, x0:x0 + w] = _COLORS[color]
+            boxes.append([x0, y0, x0 + w, y0 + h])
+        ph1 = f"the {c_left} box"
+        ph2 = f"the {c_right} box"
+        sentence = f"{ph1} on the left and {ph2} on the right"
+        pos1 = (0, len(ph1))
+        p2_start = sentence.index(ph2, len(ph1))
+        pos2 = (p2_start, p2_start + len(ph2))
+
+        ts = transform_sample(img, np.array(boxes, np.float32),
+                              self.img_size, self.canvas, False, self.rng)
+        # reuse the flickr packer via a stand-in namespace
+        class _Self:
+            tokenizer = self.tokenizer
+            max_sentence_len = self.max_sentence_len
+            phrase_seq_len = self.phrase_seq_len
+            max_num_phrases = self.max_num_phrases
+            max_img_size = self.canvas
+
+        return FlickrMultiPhraseDataset.pack_language(
+            _Self, sentence, [ph1, ph2], [pos1, pos2], ts)

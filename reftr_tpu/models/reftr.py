@@ -81,6 +81,14 @@ class RefTR(nn.Module):
 
     def setup(self):
         mc = self.config
+        if not mc.use_decoder:
+            # The reference's --no_decoder ablation is latently broken there
+            # too: RefTR.forward calls query_encoder/decoder unconditionally
+            # (reftr_transformer.py:262-276) while __init__ skips building
+            # them when dec_layers == 0 (:89-96). Fail loudly instead.
+            raise NotImplementedError(
+                "no_decoder / dec_layers=0 is a vestigial ablation with no "
+                "working forward pass in the reference; not supported")
         dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
         self.img_backbone = ResNet(

@@ -254,3 +254,37 @@ def test_affine_rotation_matches_cv2():
     s = 0.4 * 0.2 + 0.9
     cvR = cv2.getRotationMatrix2D(angle=a, center=(45.0, 30.0), scale=s)
     np.testing.assert_allclose(M[:2], cvR, atol=1e-9)
+
+
+def test_synthetic_multiphrase_e2e(synth_tok):
+    from reftr_tpu.data.datasets import SyntheticMultiPhraseDataset
+
+    ds = SyntheticMultiPhraseDataset(synth_tok, n=8, img_size=32)
+    sample, target = ds[0]
+    assert sample["phrases"].shape == (4, 8)
+    np.testing.assert_array_equal(target["box_valid"], [1, 1, 0, 0])
+    # both phrase spans point at real sentence tokens
+    assert sample["phrase_pos_l"][0] >= 1
+    assert sample["phrase_pos_r"][1] > sample["phrase_pos_l"][1]
+    assert (target["boxes"][:2] > 0).all()
+
+    # full multi-phrase model forward + criterion on a collated batch
+    import jax
+
+    from reftr_tpu.data.loader import collate
+    from reftr_tpu.core.config import LossConfig
+    from reftr_tpu.models.criterion import criterion
+    from reftr_tpu.models.reftr import RefTR
+    from tests.test_model_forward import tiny_model_config
+
+    samples, targets = collate([ds[i] for i in range(4)])
+    model = RefTR(tiny_model_config())
+    params = model.init(jax.random.PRNGKey(0), samples)
+    out = model.apply(params, samples)
+    assert out["pred_boxes"].shape == (4, 4, 1, 4)
+    pm = np.asarray(out["phrase_mask"]).reshape(4, 4)
+    np.testing.assert_array_equal(pm[:, :2], np.ones((4, 2), bool))
+    np.testing.assert_array_equal(pm[:, 2:], np.zeros((4, 2), bool))
+    t = {k: v for k, v in targets.items() if k in ("boxes", "box_valid")}
+    losses = criterion(out, t, LossConfig())
+    assert np.isfinite(float(losses["loss_bbox"]))

@@ -166,3 +166,27 @@ def test_grad_finite(single_setup):
     gnorm = float(
         jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves)))
     assert gnorm > 0
+
+
+@pytest.mark.parametrize("nfl", [2, 4])
+def test_multi_level_forward(nfl):
+    """Corrected multi-level path (deformable-DETR scheme; the reference's
+    own nfl>1 path has a latent channel mismatch, see models/reftr.py)."""
+    rng = np.random.default_rng(7)
+    mc = tiny_model_config(num_feature_levels=nfl)
+    model = RefTR(mc)
+    batch = single_phrase_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert out["pred_boxes"].shape == (2, 1, 1, 4)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    # level embeddings sized to nfl
+    assert params["params"]["vl_transformer"]["level_embed"].shape[0] == nfl
+
+
+def test_no_decoder_raises():
+    mc = tiny_model_config(no_decoder=True)
+    model = RefTR(mc)
+    rng = np.random.default_rng(0)
+    with pytest.raises(NotImplementedError, match="no_decoder"):
+        model.init(jax.random.PRNGKey(0), single_phrase_batch(rng))

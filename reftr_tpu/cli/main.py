@@ -130,10 +130,12 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.freeze_backbone = args.freeze_backbone
     m.freeze_bert = args.freeze_bert
     m.bert_model = args.bert_model
-    if args.bert_size == "tiny":
-        from reftr_tpu.core.config import BertConfig
+    from reftr_tpu.core.config import BertConfig
 
+    if args.bert_size == "tiny":
         m.bert = BertConfig.tiny()
+    elif args.bert_model.split("-")[0] == "roberta":
+        m.bert = BertConfig.roberta_base()
     m.bert.is_roberta = args.bert_model.split("-")[0] == "roberta"
     m.max_lang_seq = args.max_lang_seq
     m.num_queries_per_phrase = args.num_queries_per_phrase

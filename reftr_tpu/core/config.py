@@ -43,6 +43,18 @@ class BertConfig:
     is_roberta: bool = False  # roberta: pad_token_id=1, offset position ids
 
     @classmethod
+    def roberta_base(cls) -> "BertConfig":
+        """roberta-base: larger BPE vocab, pad id 1, offset position table,
+        layer_norm_eps 1e-5."""
+        return cls(
+            vocab_size=50265,
+            max_position_embeddings=514,
+            pad_token_id=1,
+            layer_norm_eps=1e-5,
+            is_roberta=True,
+        )
+
+    @classmethod
     def tiny(cls) -> "BertConfig":
         """A small config for unit tests."""
         return cls(

@@ -20,28 +20,44 @@ import jax
 import numpy as np
 
 
+def _first_slurm_node(nodelist: str) -> str:
+    """'node[001-008],other' -> 'node001'; 'gpu-a-3' -> 'gpu-a-3'."""
+    head = nodelist.split(",")[0]
+    if "[" in head:
+        prefix, rng = head.split("[", 1)
+        first = rng.rstrip("]").split(",")[0].split("-")[0]
+        return prefix + first
+    return head
+
+
 def initialize() -> None:
-    """Best-effort multi-process init; silently single-process otherwise."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Best-effort multi-process init; silently single-process otherwise.
+
+    MUST run before any JAX computation or backend query — so this reads
+    only environment variables to decide (never jax.process_count()).
+    """
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     n_proc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
     if coord is None and "SLURM_PROCID" in os.environ:
-        # Slurm: derive coordinator from the first node, like the
-        # reference's scontrol-based bootstrap.
-        nodelist = os.environ.get("SLURM_STEP_NODELIST", "")
-        first = nodelist.split(",")[0].split("-")[0].strip("[")
+        # Slurm: derive the coordinator from the first node, like the
+        # reference's scontrol-based bootstrap (util/misc.py:398-415).
+        nodelist = os.environ.get(
+            "SLURM_STEP_NODELIST", os.environ.get("SLURM_JOB_NODELIST", ""))
+        first = _first_slurm_node(nodelist)
         if first:
             coord = f"{first}:29500"
         n_proc = os.environ.get("SLURM_NTASKS")
         pid = os.environ.get("SLURM_PROCID")
-    if coord and n_proc and pid:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(n_proc),
-            process_id=int(pid),
-        )
+    if coord and n_proc and pid and int(n_proc) > 1:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(n_proc),
+                process_id=int(pid),
+            )
+        except RuntimeError:
+            pass  # already initialized (e.g. by the launcher)
 
 
 def is_main_process() -> bool:

@@ -116,7 +116,16 @@ class ReferDatasetResc:
         self.max_query_len = max_query_len
         self.train = train
         self.hsv_fraction = hsv_fraction
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        # per-call generator: thread-safe under the loader's thread pool and
+        # deterministic per (seed, epoch, sample)
+        return np.random.default_rng((self.seed, self.epoch, idx))
 
     def __len__(self):
         return len(self.records)
@@ -140,7 +149,7 @@ class ReferDatasetResc:
         img, phrase, bbox, _ = self.pull_item(idx)
         ts = transform_sample(
             img, bbox[None], self.img_size, self.max_img_size, self.train,
-            self.rng, self.hsv_fraction)
+            self._rng(idx), self.hsv_fraction)
         ids, mask, _ = self.tokenizer.encode(phrase.lower(),
                                              self.max_query_len)
         oh, ow = ts.valid_hw
@@ -157,6 +166,7 @@ class ReferDatasetResc:
             "box_valid": np.ones(1, bool),
             "orig_size": np.array(ts.orig_hw, np.int32),
             "size": np.array(ts.valid_hw, np.int32),
+            "image_id": np.asarray(idx, np.int32),
         }
         return sample, target
 
@@ -200,7 +210,14 @@ class FlickrMultiPhraseDataset:
         self.max_num_phrases = max_num_phrases
         self.train = train
         self.hsv_fraction = hsv_fraction
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch, idx))
 
     def __len__(self):
         return len(self.records)
@@ -214,9 +231,11 @@ class FlickrMultiPhraseDataset:
         boxes = np.array(bboxes, np.float32).reshape(-1, 4)
         ts = transform_sample(
             img, boxes, self.img_size, self.max_img_size, self.train,
-            self.rng, self.hsv_fraction)
-        return self.pack_language(str(sentence), list(phrases),
-                                  list(phrase_pos), ts)
+            self._rng(idx), self.hsv_fraction)
+        sample, target = self.pack_language(str(sentence), list(phrases),
+                                            list(phrase_pos), ts)
+        target["image_id"] = np.asarray(idx, np.int32)
+        return sample, target
 
     def pack_language(self, sentence, phrases, phrase_pos, ts):
         tok = self.tokenizer
@@ -298,7 +317,7 @@ class ReferSegDataset(ReferDatasetResc):
         mask = (np.asarray(mask) > 0).astype(np.float32)
         ts = transform_sample(
             img, bbox[None], self.img_size, self.max_img_size, self.train,
-            self.rng, self.hsv_fraction, seg_mask=mask)
+            self._rng(idx), self.hsv_fraction, seg_mask=mask)
         ids, tmask, _ = self.tokenizer.encode(phrase.lower(),
                                               self.max_query_len)
         oh, ow = ts.valid_hw
@@ -317,6 +336,7 @@ class ReferSegDataset(ReferDatasetResc):
             "mask_valid": np.asarray(True),
             "orig_size": np.array(ts.orig_hw, np.int32),
             "size": np.array(ts.valid_hw, np.int32),
+            "image_id": np.asarray(idx, np.int32),
         }
         return sample, target
 
@@ -381,7 +401,8 @@ class SyntheticGroundingDataset:
     def __getitem__(self, idx: int):
         img, phrase, box, mask = self._items[idx]
         ts = transform_sample(img, box[None], self.img_size, self.canvas,
-                              False, self.rng, seg_mask=mask)
+                              False, np.random.default_rng(idx),
+                              seg_mask=mask)
         ids, tmask, _ = self.tokenizer.encode(phrase, self.max_query_len)
         oh, ow = ts.valid_hw
         valid = np.zeros((self.canvas, self.canvas), bool)
@@ -397,6 +418,7 @@ class SyntheticGroundingDataset:
             "box_valid": np.ones(1, bool),
             "orig_size": np.array(ts.orig_hw, np.int32),
             "size": np.array(ts.valid_hw, np.int32),
+            "image_id": np.asarray(idx, np.int32),
         }
         if self.with_masks:
             target["masks"] = ts.mask_canvas

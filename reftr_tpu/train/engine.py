@@ -57,7 +57,7 @@ def train_one_epoch(
     logger = MetricLogger(print_fn=print_fn)
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
-    prev_loss = None  # async NaN tripwire: check step i-1 while i runs
+    prev_metrics = None  # async NaN tripwire: consume step i-1 while i runs
     tracing = False
     i = 0
     for samples, targets in logger.log_every(loader, print_freq, header,
@@ -74,20 +74,24 @@ def train_one_epoch(
             samples = shard_batch(samples, mesh)
             targets = shard_batch(targets, mesh)
         state, metrics = train_step(state, samples, targets)
-        if prev_loss is not None:
-            lv = float(prev_loss)
-            if not math.isfinite(lv):
-                print_fn(f"Loss is {lv}, stopping training")
+        # convert the PREVIOUS step's metrics while this one runs — the host
+        # never blocks on the step it just dispatched
+        if prev_metrics is not None:
+            host = {k: float(v) for k, v in prev_metrics.items()}
+            if not math.isfinite(host["loss"]):
+                print_fn(f"Loss is {host['loss']}, stopping training")
                 sys.exit(1)
-        prev_loss = metrics["loss"]
-        host = {k: float(v) for k, v in metrics.items()}
-        logger.update(**host)
+            logger.update(**host)
+        prev_metrics = metrics
         i += 1
     if tracing:
         jax.profiler.stop_trace()
-    if prev_loss is not None and not math.isfinite(float(prev_loss)):
-        print_fn(f"Loss is {float(prev_loss)}, stopping training")
-        sys.exit(1)
+    if prev_metrics is not None:
+        host = {k: float(v) for k, v in prev_metrics.items()}
+        if not math.isfinite(host["loss"]):
+            print_fn(f"Loss is {host['loss']}, stopping training")
+            sys.exit(1)
+        logger.update(**host)
     logger.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
@@ -181,11 +185,12 @@ def evaluate(
                 scale_to_original_shape=True)
             arr = np.asarray(scaled_boxes)
             valid = np.asarray(targets["box_valid"])
+            ids = full_targets.get(
+                "image_id", np.arange(idx_base, idx_base + arr.shape[0]))
             for i in range(arr.shape[0]):
-                image_id = int(full_targets.get(
-                    "image_id", np.arange(idx_base, idx_base + arr.shape[0])
-                )[i])
-                results_dict[image_id] = arr[i][valid[i]].tolist()
+                if not valid[i].any():
+                    continue  # batch-padding row: don't clobber a real entry
+                results_dict[int(ids[i])] = arr[i][valid[i]].tolist()
         idx_base += np.asarray(samples["image"]).shape[0]
 
     logger.synchronize_between_processes()

@@ -238,18 +238,9 @@ def run_training(cfg: RefTRConfig) -> Dict:
                 profile_dir=cfg.train.profile_dir)
             test_stats = run_eval(state.params)
 
-            if out_dir and is_main_process():
-                ckpt_lib.save_checkpoint(
-                    out_dir, "checkpoint", jax.device_get(state.params),
-                    jax.device_get(state.opt_state), int(state.step), epoch,
-                    best_val_acc, cfg)
-                if (epoch + 1) % cfg.train.lr_drop == 0 or \
-                        (epoch + 1) % cfg.train.ckpt_cycle == 0:
-                    ckpt_lib.save_checkpoint(
-                        out_dir, f"checkpoint{epoch:04d}",
-                        jax.device_get(state.params), None, int(state.step),
-                        epoch, best_val_acc, cfg)
-
+            # update best FIRST so the per-epoch checkpoint's meta carries
+            # the current best (else an auto-resume could later overwrite
+            # checkpoint_best with a worse model)
             first_split = next(iter(test_stats)) if test_stats else None
             if first_split:
                 acc = test_stats[first_split].get("accuracy_iou0.5", 0.0)
@@ -262,6 +253,18 @@ def run_training(cfg: RefTRConfig) -> Dict:
                             out_dir, "checkpoint_best",
                             jax.device_get(state.params), None,
                             int(state.step), epoch, best_val_acc, cfg)
+
+            if out_dir and is_main_process():
+                ckpt_lib.save_checkpoint(
+                    out_dir, "checkpoint", jax.device_get(state.params),
+                    jax.device_get(state.opt_state), int(state.step), epoch,
+                    best_val_acc, cfg)
+                if (epoch + 1) % cfg.train.lr_drop == 0 or \
+                        (epoch + 1) % cfg.train.ckpt_cycle == 0:
+                    ckpt_lib.save_checkpoint(
+                        out_dir, f"checkpoint{epoch:04d}",
+                        jax.device_get(state.params), None, int(state.step),
+                        epoch, best_val_acc, cfg)
 
             log_entry = {
                 **{f"train_{k}": v for k, v in train_stats.items()},

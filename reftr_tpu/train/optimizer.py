@@ -47,10 +47,16 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
         path = "/".join(parts)
         leaf = parts[-1]
         if "img_backbone" in path:
-            # FrozenBN tensors are buffers; stem + layer1 never train
+            # FrozenBN tensors are buffers; stem + layer1 never train.
+            # NB: match the STEM's conv1/bn1 only (the module directly under
+            # img_backbone) — every Bottleneck also has a conv1/bn1 that must
+            # stay trainable (backbone.py:85-89 freezes by 'layer2/3/4 not in
+            # name', i.e. stem + layer1 only).
             if leaf in _FROZEN_BN_LEAVES:
                 return "frozen"
-            if "/conv1/" in f"/{path}/" or "layer1_" in path or "/bn1/" in f"/{path}/":
+            bb_idx = parts.index("img_backbone")
+            child = parts[bb_idx + 1] if bb_idx + 1 < len(parts) else ""
+            if child in ("conv1", "bn1") or child.startswith("layer1_"):
                 return "frozen"
             return "backbone" if train_backbone else "frozen"
         if "lang_backbone" in path:

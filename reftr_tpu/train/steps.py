@@ -96,8 +96,16 @@ def make_eval_step(
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Device_put a host batch with the leading axis over 'data'."""
+    """Place a host batch with the leading axis sharded over 'data'.
+
+    Multi-host: each process holds its rank-local shard (the sampler gives
+    disjoint blocks), so the global batch is assembled from per-process
+    local data — the DDP semantics of the reference, where the effective
+    batch is world_size * batch_size."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), tree)
     return jax.device_put(tree, sh)
 
 

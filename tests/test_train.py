@@ -102,8 +102,11 @@ def test_param_groups():
     assert flat["img_backbone/conv1/kernel"] == "frozen"
     assert flat["img_backbone/layer1_0/conv1/kernel"] == "frozen"
     assert flat["img_backbone/layer1_0/bn1/weight"] == "frozen"
-    # trainable backbone convs
+    # trainable backbone convs — INCLUDING each bottleneck's own conv1/bn-free
+    # kernels (regression: the stem rule must not match block submodules)
     assert flat["img_backbone/layer3_0/conv2/kernel"] == "backbone"
+    assert flat["img_backbone/layer2_0/conv1/kernel"] == "backbone"
+    assert flat["img_backbone/layer4_2/conv1/kernel"] == "backbone"
     assert flat["img_backbone/layer2_0/downsample_bn/weight"] == "frozen"
     # bert
     assert flat["lang_backbone/pooler/kernel"] == "bert"
@@ -179,3 +182,48 @@ def test_train_loop_mesh(mesh_cfg):
         assert np.isfinite(loss)
         assert loss < first, (first, loss)
         assert int(state.step) == 8
+
+
+def test_checkpoint_roundtrip_tp_mesh(tmp_path):
+    """Save from a TP-sharded state, restore, re-shard: values identical."""
+    import jax.numpy as jnp
+
+    from reftr_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    mc = tiny_model_config()
+    tc = TrainConfig(lr=1e-3)
+    model = RefTR(mc)
+    rng = np.random.default_rng(3)
+    batch = single_phrase_batch(rng, b=8)
+    targets = {
+        "boxes": rng.uniform(0.3, 0.6, size=(8, 1, 4)).astype(np.float32),
+        "box_valid": np.ones((8, 1), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    from reftr_tpu.train.schedules import build_schedule
+
+    tx = build_optimizer(mc, tc, build_schedule(tc, steps_per_epoch=10))
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    lc = LossConfig()
+    wd = weight_dict(lc, mc.dec_layers, mc.aux_loss)
+    step = make_train_step(model, wd, lc, world_size=4, donate=False)
+    with mesh:
+        state = shard_state(state, mesh)
+        state, _ = step(state, shard_batch(batch, mesh),
+                        shard_batch(targets, mesh))
+        save_checkpoint(str(tmp_path), "ckpt", jax.device_get(state.params),
+                        jax.device_get(state.opt_state), int(state.step))
+        payload, meta = restore_checkpoint(
+            str(tmp_path), "ckpt",
+            {"params": jax.device_get(state.params),
+             "opt_state": jax.device_get(state.opt_state)})
+        state2 = state.replace(params=payload["params"],
+                               opt_state=payload["opt_state"])
+        state2 = shard_state(state2, mesh)
+        # continue training from the restored state — must match exactly
+        s_a, m_a = step(state, shard_batch(batch, mesh),
+                        shard_batch(targets, mesh))
+        s_b, m_b = step(state2, shard_batch(batch, mesh),
+                        shard_batch(targets, mesh))
+        assert float(m_a["loss"]) == float(m_b["loss"])

@@ -99,7 +99,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    choices=("float32", "bfloat16"))
     p.add_argument("--mesh_data", default=-1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
-    p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--use_pallas_attention", default=None,
+                   choices=("auto", "on", "off"),
+                   help="fused attention kernel; default auto (on for long"
+                        " sequences on TPU)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of early steps")
@@ -142,7 +145,8 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.aux_loss = args.aux_loss
     m.ablation = args.ablation
     m.dtype = args.dtype
-    m.use_pallas_attention = args.use_pallas_attention
+    m.use_pallas_attention = {None: None, "auto": None, "on": True,
+                              "off": False}[args.use_pallas_attention]
     m.remat = args.remat
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef

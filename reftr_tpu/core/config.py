@@ -97,7 +97,9 @@ class ModelConfig:
     ablation: str = "none"  # 'cem_loss' enables the CEM energy head
     # --- TPU-specific knobs (no reference equivalent) ---
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
-    use_pallas_attention: bool = False  # fused attention kernel on TPU
+    # None = auto: Pallas fused attention on TPU for sequences >= 1024
+    # (multi-level configs), XLA otherwise; True/False force it
+    use_pallas_attention: Optional[bool] = None
     remat: bool = False  # jax.checkpoint the encoder/backbone for memory
 
     @property

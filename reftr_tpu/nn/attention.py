@@ -35,7 +35,10 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    # True/False force the kernel; None = auto (Pallas on TPU for long
+    # sequences, where it measures 1.6-2x faster than XLA attention; XLA
+    # otherwise — see PERFORMANCE.md)
+    use_pallas: Any = None
 
     @nn.compact
     def __call__(
@@ -68,7 +71,15 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, sk, h, dh)
         v = v.reshape(b, sk, h, dh)
 
-        if self.use_pallas and not (self.dropout > 0 and not deterministic):
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            # auto: only where measured faster (long sequences on TPU) and
+            # safe (single device — pallas_call under a multi-device pjit
+            # needs explicit shard_map integration; planned)
+            use_pallas = (k.shape[1] >= 1024
+                          and jax.default_backend() == "tpu"
+                          and jax.device_count() == 1)
+        if use_pallas and not (self.dropout > 0 and not deterministic):
             from reftr_tpu.kernels.attention import fused_attention
 
             out = fused_attention(q, k, v, key_padding_mask)

@@ -152,8 +152,10 @@ def fused_attention(
     k: jnp.ndarray,  # [B, Sk, H, D]
     v: jnp.ndarray,
     valid_mask: Optional[jnp.ndarray] = None,  # [B, Sk] bool, True = keep
-    block_q: int = 256,
-    block_k: int = 512,
+    # swept on v5e at S=2048..8540: (512, 1024) is fastest with VMEM margin
+    # (larger combos OOM the 16 MB VMEM; see PERFORMANCE.md)
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Returns [B, Sq, H, D]."""

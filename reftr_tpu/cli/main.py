@@ -106,6 +106,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of early steps")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail at the op producing "
+                        "the first NaN instead of at the loss tripwire)")
     p.add_argument("--bert_size", default="base", choices=("base", "tiny"),
                    help="tiny uses a small random-init language encoder "
                         "(smoke tests; no reference equivalent)")
@@ -206,6 +209,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.preset:
         apply_preset(args, args.preset, argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = args_to_config(args)
     from reftr_tpu.train.loop import run_training
 

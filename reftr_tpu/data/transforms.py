@@ -73,9 +73,13 @@ def transform_sample(
     h, w = image.shape[:2]
     if train:
         assert rng is not None
-        s = float((rng.random() * 2 - 1) * hsv_fraction + 1)
+        # NB the reference's RandomIntensitySaturation draws a saturation
+        # factor but never multiplies it into S (transforms.py:272-275 only
+        # clips) — the live behavior is VALUE-only jitter. We draw both
+        # factors (same rng stream shape) but apply s=1.0 to match.
+        _s_unused = float((rng.random() * 2 - 1) * hsv_fraction + 1)
         v = float((rng.random() * 2 - 1) * hsv_fraction + 1)
-        image = native.hsv_jitter(image, s, v)
+        image = native.hsv_jitter(image, 1.0, v)
 
     oh, ow = resize_target_hw(h, w, img_size, max_img_size)
     resized = native.resize_bilinear(image, (oh, ow))

@@ -18,8 +18,13 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
     -1e9) so the kernel has no bool handling,
   * all kernel math in f32 (bf16 kernels trip Mosaic's broadcast verifier
     on this jax version; f32 also matches the XLA path's fp32 softmax),
-  * backward pass = jax.custom_vjp recomputing attention with plain XLA
-    ops — kernel-fast inference, exact training gradients.
+  * backward pass = flash-2 style Pallas kernels (dq with a kv sweep,
+    dk/dv with a q sweep, p recomputed from the forward's logsumexp), so
+    TRAINING at the 4-level S=8540 config stays within HBM — the XLA
+    recompute VJP it replaces materializes f32[B,H,S,S] and OOMs there.
+    The logsumexp rows are stored replicated across a 128-lane minor dim
+    (the standard Mosaic layout for per-row stats; avoids in-kernel
+    transposes).
 """
 
 from __future__ import annotations
@@ -35,8 +40,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_ref, l_ref, acc_ref, *, scale, n_kb):
+LSE_LANES = 128  # per-row stats replicated across the minor dim
+
+
+def _dropout_keep(shape, rate, inv_keep):
+    """Per-tile dropout multiplier: inv_keep where kept, 0 where dropped.
+
+    Caller must have seeded the PRNG with the tile's absolute
+    (batch*head, q-tile, k-tile) coordinates so forward and backward
+    regenerate the identical mask.
+    """
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(shape), jnp.int32)
+    # logical shift to 23 bits (Mosaic has no uint32->f32 cast)
+    u = jax.lax.shift_right_logical(bits, 9).astype(jnp.float32) * (2.0 ** -23)
+    return jnp.where(u >= rate, inv_keep, 0.0)  # uniform [0, 1) vs rate
+
+
+def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  m_ref, l_ref, acc_ref, *, scale, n_qb, n_kb,
+                  dropout_rate):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -57,7 +80,14 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
     corr = jnp.exp(m_prev - m_new)
     p = jnp.exp(logits - m_new)
+    # softmax denominator over UN-dropped p (torch drops after normalizing)
     l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        # Mosaic allows at most 2 seed words: pack the tile coordinates
+        # (same formula in all three kernels so the masks line up)
+        tile = (pl.program_id(0) * n_qb + pl.program_id(1)) * n_kb + kb
+        pltpu.prng_seed(seed_ref[0, 0], tile)
+        p = p * _dropout_keep(p.shape, dropout_rate, 1.0 / (1.0 - dropout_rate))
     acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     m_ref[...] = m_new
@@ -65,10 +95,20 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(kb == n_kb - 1)
     def _finalize():
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = jnp.broadcast_to(
+                m_ref[...] + jnp.log(l_ref[...]), lse_ref.shape[1:])
 
 
-def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool):
-    """q: [B, H, Sq, D] f32; k/v: [B, H, Sk, D] f32; bias: [B, Sk] f32."""
+def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
+         return_lse: bool = False, dropout_rate: float = 0.0, seed=None):
+    """q: [B, H, Sq, D] f32; k/v: [B, H, Sk, D] f32; bias: [B, Sk] f32.
+
+    With return_lse, additionally returns the row logsumexp as
+    [B*H, Sq, LSE_LANES] f32 (value replicated across the lane dim).
+    With dropout_rate > 0, seed is a traced int32 [1, 1] that (together
+    with the tile coordinates) keys the attention-weight dropout mask.
+    """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
@@ -92,17 +132,43 @@ def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool):
     n_kb = sk_p // block_k
 
     grid = (b * h, sq_p // block_q, n_kb)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, n_kb=n_kb),
+    out_shape = [jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0))]
+    if return_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * h, sq_p, LSE_LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)))
+    _k = functools.partial(_flash_kernel, scale=scale,
+                           n_qb=sq_p // block_q, n_kb=n_kb,
+                           dropout_rate=dropout_rate)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+    ]
+    inputs = [bias[:, None, :], qr, kr, vr]
+    if dropout_rate > 0.0:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.insert(0, seed)
+        kernel = _k if return_lse else (
+            lambda s, bias, q, k, v, o, m, l, acc:
+            _k(s, bias, q, k, v, o, None, m, l, acc))
+    else:
+        # splice in the refs pallas_call does not pass (seed / lse out)
+        if return_lse:
+            def kernel(bias, q, k, v, o, lse, m, l, acc):
+                _k(None, bias, q, k, v, o, lse, m, l, acc)
+        else:
+            def kernel(bias, q, k, v, o, m, l, acc):
+                _k(None, bias, q, k, v, o, None, m, l, acc)
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb)),
-            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max
             pltpu.VMEM((block_q, 1), jnp.float32),  # running denom
@@ -111,13 +177,15 @@ def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(bias[:, None, :], qr, kr, vr)
-    out = out.reshape(b, h, sq_p, d)
-    return out[:, :, :sq]
+    )(*inputs)
+    out = outs[0].reshape(b, h, sq_p, d)[:, :, :sq]
+    if return_lse:
+        return out, outs[1][:, :sq]
+    return out
 
 
 def _xla_attention(q, k, v, bias):
-    """Reference implementation (also the backward path)."""
+    """Reference implementation (testing oracle)."""
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -127,21 +195,243 @@ def _xla_attention(q, k, v, bias):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention(q, k, v, bias, block_q, block_k, interpret):
+def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                   lse_ref, dq_ref, dq_acc, di_ref, *, scale, n_qb, n_kb,
+                   dropout_rate):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        # di_i = sum_d do_id * o_id (flash-2's rowsum(dO*O) = dL/dlse trick)
+        di_ref[...] = jnp.sum(do_ref[0] * o_ref[0], axis=-1, keepdims=True)
+
+    q = q_ref[0]   # [BQ, D]
+    k = k_ref[0]   # [BK, D]
+    v = v_ref[0]   # [BK, D]
+    do = do_ref[0]
+    bias = bias_ref[0]  # [1, BK]
+    # lanes are replicas of the same row value; max collapses to [BQ, 1]
+    lse = jnp.max(lse_ref[0], axis=-1, keepdims=True)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [BQ, BK]
+    if dropout_rate > 0.0:
+        # regenerate the forward's mask for this exact tile
+        tile = (pl.program_id(0) * n_qb + pl.program_id(1)) * n_kb + kb
+        pltpu.prng_seed(seed_ref[0, 0], tile)
+        dp = dp * _dropout_keep(dp.shape, dropout_rate,
+                                1.0 / (1.0 - dropout_rate))
+    ds = p * (dp - di_ref[...])
+    dq_acc[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kb - 1)
+    def _finalize():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                    lse_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, n_qb,
+                    n_kb, dropout_rate):
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]   # [BQ, D]
+    k = k_ref[0]   # [BK, D]
+    v = v_ref[0]
+    do = do_ref[0]
+    bias = bias_ref[0]  # [1, BK]
+    lse = jnp.max(lse_ref[0], axis=-1, keepdims=True)  # [BQ, 1]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
+    p = jnp.exp(s - lse)
+    if dropout_rate > 0.0:
+        # tile coords here are (i, kb=program_id(1), qb=program_id(2)):
+        # pack in (i, q-tile, k-tile) order to match the forward/dq kernels
+        tile = (pl.program_id(0) * n_qb + qb) * n_kb + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0, 0], tile)
+        keep = _dropout_keep(p.shape, dropout_rate,
+                             1.0 / (1.0 - dropout_rate))
+    else:
+        keep = None
+    dv_acc[...] += jax.lax.dot_general(
+        p if keep is None else p * keep, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [BK, D]
+    di = jnp.sum(do * o_ref[0], axis=-1, keepdims=True)  # [BQ, 1]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [BQ, BK]
+    if keep is not None:
+        dp = dp * keep
+    ds = p * (dp - di)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(qb == n_qb - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
+         interpret: bool, dropout_rate: float = 0.0, seed=None):
+    """Flash-2 backward. All of q/do/o: [B,H,Sq,D]; k/v: [B,H,Sk,D] f32;
+    bias: [B,Sk] f32; lse: [B*H, Sq, LSE_LANES] f32. Returns (dq, dk, dv).
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+
+    block_q = min(block_q, max(8, sq))
+    block_k = min(block_k, max(128, sk))
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    if pad_q:
+        padq = ((0, 0), (0, 0), (0, pad_q), (0, 0))
+        q, do, o = (jnp.pad(t, padq) for t in (q, do, o))
+        # exp(s - 1e30) == 0: padded q rows produce exactly-zero p and ds,
+        # so they contribute nothing to dk/dv (do rows are zero too).
+        lse = jnp.pad(lse, ((0, 0), (0, pad_q), (0, 0)),
+                      constant_values=1e30)
+    if pad_k:
+        padk = ((0, 0), (0, 0), (0, pad_k), (0, 0))
+        k, v = (jnp.pad(t, padk) for t in (k, v))
+        bias = jnp.pad(bias, ((0, 0), (0, pad_k)), constant_values=NEG_INF)
+    sq_p, sk_p = sq + pad_q, sk + pad_k
+
+    qr = q.reshape(b * h, sq_p, d)
+    kr = k.reshape(b * h, sk_p, d)
+    vr = v.reshape(b * h, sk_p, d)
+    dor = do.reshape(b * h, sq_p, d)
+    orr = o.reshape(b * h, sq_p, d)
+    biasr = bias[:, None, :]
+    n_qb = sq_p // block_q
+    n_kb = sk_p // block_k
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((1, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)),
+    ]
+    dkv_in_specs = [
+        pl.BlockSpec((1, 1, block_k), lambda i, j, qb: (i // h, 0, j)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((1, block_q, LSE_LANES), lambda i, j, qb: (i, qb, 0)),
+    ]
+    dq_inputs = [biasr, qr, kr, vr, dor, orr, lse]
+    dkv_inputs = list(dq_inputs)
+    dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale, n_qb=n_qb,
+                                  n_kb=n_kb, dropout_rate=dropout_rate)
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale, n_qb=n_qb,
+                                   n_kb=n_kb, dropout_rate=dropout_rate)
+    if dropout_rate > 0.0:
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        dq_in_specs.insert(0, smem)
+        dkv_in_specs.insert(0, smem)
+        dq_inputs.insert(0, seed)
+        dkv_inputs.insert(0, seed)
+    else:
+        _dq, _dkv = dq_kernel, dkv_kernel
+        dq_kernel = lambda *refs: _dq(None, *refs)
+        dkv_kernel = lambda *refs: _dkv(None, *refs)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, n_qb, n_kb),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),  # dq accumulator
+            pltpu.VMEM((block_q, 1), jnp.float32),  # di rows
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(*dq_inputs)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, n_kb, n_qb),
+        in_specs=dkv_in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),  # dk accumulator
+            pltpu.VMEM((block_k, d), jnp.float32),  # dv accumulator
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(*dkv_inputs)
+
+    dq = dq.reshape(b, h, sq_p, d)[:, :, :sq]
+    dk = dk.reshape(b, h, sk_p, d)[:, :, :sk]
+    dv = dv.reshape(b, h, sk_p, d)[:, :, :sk]
+    return dq, dk, dv
+
+
+# backward blocks are smaller than forward's (512, 1024): the bwd kernels
+# hold ~4 [BQ, BK] f32 temporaries (s, p, dp, ds) at once
+BWD_BLOCK_Q = 256
+BWD_BLOCK_K = 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention(q, k, v, bias, seed, block_q, block_k, interpret,
+               dropout_rate):
     return _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
-                interpret=interpret)
+                interpret=interpret, dropout_rate=dropout_rate, seed=seed)
 
 
-def _attention_fwd(q, k, v, bias, block_q, block_k, interpret):
-    return _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
-                interpret=interpret), (q, k, v, bias)
+def _attention_fwd(q, k, v, bias, seed, block_q, block_k, interpret,
+                   dropout_rate):
+    if dropout_rate > 0.0:
+        # dropout masks are keyed by tile coordinates: forward and backward
+        # must tile identically, so run the forward at the backward blocks
+        block_q = min(block_q, BWD_BLOCK_Q)
+        block_k = min(block_k, BWD_BLOCK_K)
+    out, lse = _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
+                    interpret=interpret, return_lse=True,
+                    dropout_rate=dropout_rate, seed=seed)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _attention_bwd(block_q, block_k, interpret, res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(_xla_attention, q, k, v, bias)
-    return vjp(g)
+def _attention_bwd(block_q, block_k, interpret, dropout_rate, res, g):
+    q, k, v, bias, seed, o, lse = res
+    dq, dk, dv = _bwd(q, k, v, bias, o, lse, g.astype(jnp.float32),
+                      block_q=min(block_q, BWD_BLOCK_Q),
+                      block_k=min(block_k, BWD_BLOCK_K),
+                      interpret=interpret, dropout_rate=dropout_rate,
+                      seed=seed)
+    # bias is derived from a boolean validity mask (jnp.where on bools), so
+    # its cotangent can never reach a trainable leaf; skip computing it.
+    # seed is integer-typed: no cotangent.
+    return dq, dk, dv, jnp.zeros_like(bias), None
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
@@ -157,19 +447,42 @@ def fused_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,  # PRNG key, required if rate>0
 ) -> jnp.ndarray:
-    """Returns [B, Sq, H, D]."""
+    """Returns [B, Sq, H, D].
+
+    dropout_rate > 0 applies attention-weight dropout inside the kernel
+    (mask regenerated bit-identically in the backward kernels), matching
+    torch.nn.MultiheadAttention(dropout=...) in train mode — the softmax
+    denominator is computed before dropping, reference transformer.py:151.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret and dropout_rate > 0.0:
+        raise NotImplementedError(
+            "kernel dropout needs the TPU PRNG; interpret mode (CPU) has "
+            "no use for the pallas path — use the XLA attention instead")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if valid_mask is None:
         bias = jnp.zeros((b, sk), jnp.float32)
     else:
         bias = jnp.where(valid_mask, 0.0, NEG_INF).astype(jnp.float32)
+    if dropout_rate > 0.0:
+        assert dropout_rng is not None, "dropout_rate > 0 needs dropout_rng"
+        # accept both raw uint32 key arrays (flax make_rng) and typed keys
+        words = (dropout_rng if dropout_rng.dtype == jnp.uint32
+                 else jax.random.key_data(dropout_rng))
+        words = words.reshape(-1)
+        seed = ((words[0] ^ words[-1]) & jnp.uint32(0x7FFFFFFF)
+                ).astype(jnp.int32).reshape(1, 1)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
     in_dtype = q.dtype
     qt = q.transpose(0, 2, 1, 3).astype(jnp.float32)
     kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
     vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
-    out = _attention(qt, kt, vt, bias, block_q, block_k, interpret)
+    out = _attention(qt, kt, vt, bias, seed, block_q, block_k, interpret,
+                     float(dropout_rate))
     return out.transpose(0, 2, 1, 3).astype(in_dtype)

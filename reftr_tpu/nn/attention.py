@@ -79,10 +79,18 @@ class MultiHeadAttention(nn.Module):
             use_pallas = (k.shape[1] >= 1024
                           and jax.default_backend() == "tpu"
                           and jax.device_count() == 1)
-        if use_pallas and not (self.dropout > 0 and not deterministic):
+        if use_pallas:
             from reftr_tpu.kernels.attention import fused_attention
 
-            out = fused_attention(q, k, v, key_padding_mask)
+            if self.dropout > 0 and not deterministic:
+                # attention-weight dropout runs inside the kernel; the mask
+                # is regenerated bit-identically in the backward kernels
+                out = fused_attention(
+                    q, k, v, key_padding_mask,
+                    dropout_rate=self.dropout,
+                    dropout_rng=self.make_rng("dropout"))
+            else:
+                out = fused_attention(q, k, v, key_padding_mask)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
             logits = jnp.einsum(

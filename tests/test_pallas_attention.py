@@ -73,3 +73,101 @@ def test_mha_module_pallas_path_matches(rng):
     pal_mod = MultiHeadAttention(d, h, 0.0, use_pallas=True)
     got = np.asarray(pal_mod.apply(params, x, x, x, valid))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sq,sk", [(16, 24), (33, 70), (130, 257)])
+def test_kernel_backward_matches_xla(rng, sq, sk):
+    """Pallas flash backward (dq/dk/dv kernels) vs XLA autodiff gradients,
+    including shapes that force q/k padding inside the kernel."""
+    q, k, v, valid = make_qkv(rng, b=2, sq=sq, sk=sk)
+    bias = np.where(valid, 0.0, -1e9).astype(np.float32)
+    g = rng.normal(size=(2, sq, 4, 32)).astype(np.float32)
+
+    def out_fused(q, k, v):
+        return jnp.vdot(fused_attention(q, k, v, valid, interpret=True), g)
+
+    def out_xla(q, k, v):
+        o = _xla_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3), bias)
+        return jnp.vdot(o.transpose(0, 2, 1, 3), g)
+
+    g1 = jax.grad(out_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(out_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_backward_bf16(rng):
+    """bf16 inputs: kernel grads within bf16 tolerance of the fp32 oracle."""
+    q, k, v, valid = make_qkv(rng, b=2, sq=40, sk=40)
+    bias = np.where(valid, 0.0, -1e9).astype(np.float32)
+
+    def loss_fused(q, k, v):
+        out = fused_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                              v.astype(jnp.bfloat16), valid, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3), bias)
+        return jnp.sum(o.transpose(0, 2, 1, 3) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
+                                   rtol=0.05, atol=0.05)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="kernel dropout needs the TPU PRNG")
+def test_kernel_dropout_gradients_match_mask_oracle(rng):
+    """Extract the realized dropout mask (out is linear in v), rebuild the
+    same masked attention in plain jnp, and require the kernel's dq/dk/dv
+    to match that oracle's gradients. Run manually on the chip:
+    `REFTR_TEST_TPU=1 python -m pytest tests/test_pallas_attention.py -k oracle`
+    (the CPU suite skips it: interpret mode has no TPU PRNG)."""
+    b, s, h, d = 2, 256, 4, 32
+    rate = 0.1
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    valid = np.ones((b, s), bool)
+    key = jax.random.PRNGKey(7)
+    g = rng.normal(size=(b, s, h, d)).astype(np.float32)
+
+    def f(q, k, v):
+        return fused_attention(q, k, v, valid, dropout_rate=rate,
+                               dropout_rng=key)
+
+    @jax.jit
+    def col(vv):
+        out, _ = jax.vjp(lambda v: f(q, k, v), vv)  # vjp fwd = train path
+        return out[:, :, :, 0]
+
+    cols = []
+    for j in range(s):
+        vv = np.zeros((b, s, h, d), np.float32)
+        vv[:, j] = 1.0
+        cols.append(np.asarray(col(vv)))
+    mask = (np.stack(cols, -1).transpose(0, 2, 1, 3) != 0)  # [b,h,sq,sk]
+    kept = mask.mean()
+    assert abs(kept - (1 - rate)) < 0.01, kept
+
+    minv = mask.astype(np.float32) / (1 - rate)
+
+    def ref(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (d ** 0.5)
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w * minv, v)
+
+    loss_k = lambda q, k, v: jnp.vdot(f(q, k, v), g)
+    loss_r = lambda q, k, v: jnp.vdot(ref(q, k, v), g)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(q, k, v)
+    got = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(q, k, v)
+    for a, w in zip(got, want):
+        a, w = np.asarray(a), np.asarray(w)
+        # floor is the MXU's default-precision rounding, ~5e-3 of max
+        assert np.max(np.abs(a - w)) / (np.max(np.abs(w)) + 1e-9) < 2e-2

@@ -367,6 +367,23 @@ class SyntheticGroundingDataset:
         self.with_masks = with_masks
         self.rng = np.random.default_rng(seed)
         self._items = [self._make(i) for i in range(n)]
+        self._paths: Optional[List[str]] = None
+
+    def export_images(self, out_dir: str) -> List[str]:
+        """Write the fixture's images to JPEG files and switch __getitem__
+        to decode them from disk — a realistic loader workload (decode +
+        resize + pack) for measuring data_time vs step_time."""
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, (img, _, _, _) in enumerate(self._items):
+            p = osp.join(out_dir, f"synth_{i:05d}.jpg")
+            if not osp.exists(p):
+                Image.fromarray(img).save(p, quality=95)
+            paths.append(p)
+        self._paths = paths
+        return paths
 
     def _make(self, i):
         rng = np.random.default_rng(1000 + i)
@@ -400,6 +417,8 @@ class SyntheticGroundingDataset:
 
     def __getitem__(self, idx: int):
         img, phrase, box, mask = self._items[idx]
+        if self._paths is not None:
+            img = _load_image(self._paths[idx])
         ts = transform_sample(img, box[None], self.img_size, self.canvas,
                               False, np.random.default_rng(idx),
                               seg_mask=mask)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
@@ -66,9 +67,30 @@ class DataLoader:
                  for i in range(0, len(idx), self.batch_size)]
         if self.drop_last:
             spans = [s for s in spans if len(s) == self.batch_size]
+        # Pipelined across batches: item futures for the next `lookahead`
+        # batches are submitted before blocking on the current batch's
+        # results, so workers never idle at batch boundaries and a straggler
+        # item only delays its own batch (previously a per-batch pool.map
+        # barrier drained the pool between spans).
+        lookahead = max(1, self.prefetch_depth)
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for span in spans:
-                items = list(pool.map(self.dataset.__getitem__, span))
+            pending = deque()
+            span_it = iter(spans)
+
+            def fill():
+                while len(pending) <= lookahead:
+                    span = next(span_it, None)
+                    if span is None:
+                        return
+                    pending.append(
+                        [pool.submit(self.dataset.__getitem__, i)
+                         for i in span])
+
+            fill()
+            while pending:
+                futs = pending.popleft()
+                fill()  # keep the pool fed before blocking on results
+                items = [f.result() for f in futs]
                 n_pad = self.batch_size - len(items)
                 if n_pad > 0:
                     # pad the final batch to the static batch size so XLA

@@ -33,6 +33,66 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def crop(image: np.ndarray, boxes_xyxy: np.ndarray,
+         region: Tuple[int, int, int, int],
+         masks: Optional[np.ndarray] = None):
+    """Paired crop, DETR semantics (reference datasets/transforms.py:21-61).
+
+    region = (top, left, h, w). Boxes are translated, clamped to the crop,
+    and entries whose clamped box degenerates (any side <= 0) are dropped;
+    masks (leading [N, H, W]) are sliced and filtered by the same keep set.
+    Returns (image, boxes, keep_indices[, masks]) — declared-capability
+    parity: these ops are outside every live reference pipeline (the
+    RandomCrop family is never added to make_refer_transforms).
+    """
+    i, j, h, w = region
+    out_img = image[i:i + h, j:j + w]
+    boxes = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4).copy()
+    boxes -= np.array([j, i, j, i], np.float32)
+    boxes = np.minimum(boxes.reshape(-1, 2, 2),
+                       np.array([w, h], np.float32))
+    boxes = np.clip(boxes, 0, None)
+    keep = np.all(boxes[:, 1, :] > boxes[:, 0, :], axis=1)
+    boxes = boxes.reshape(-1, 4)[keep]
+    if masks is not None:
+        out_masks = masks[..., i:i + h, j:j + w]
+        if out_masks.ndim == 3:
+            out_masks = out_masks[keep]
+        return out_img, boxes, keep, out_masks
+    return out_img, boxes, keep
+
+
+def hflip(image: np.ndarray, boxes_xyxy: np.ndarray,
+          masks: Optional[np.ndarray] = None):
+    """Paired horizontal flip (reference datasets/transforms.py:64-78)."""
+    out_img = image[:, ::-1].copy()
+    w = image.shape[1]
+    boxes = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
+    boxes = (boxes[:, [2, 1, 0, 3]] * np.array([-1, 1, -1, 1], np.float32)
+             + np.array([w, 0, w, 0], np.float32))
+    if masks is not None:
+        return out_img, boxes, np.flip(masks, axis=-1).copy()
+    return out_img, boxes
+
+
+def center_crop_region(h: int, w: int, crop_h: int,
+                       crop_w: int) -> Tuple[int, int, int, int]:
+    """CenterCrop's region math (reference datasets/transforms.py:174-183)."""
+    top = int(round((h - crop_h) / 2.0))
+    left = int(round((w - crop_w) / 2.0))
+    return top, left, crop_h, crop_w
+
+
+def random_crop_region(h: int, w: int, crop_h: int, crop_w: int,
+                       rng: np.random.Generator):
+    """torchvision RandomCrop.get_params equivalent (transforms.py:158)."""
+    if h == crop_h and w == crop_w:
+        return 0, 0, h, w
+    top = int(rng.integers(0, h - crop_h + 1))
+    left = int(rng.integers(0, w - crop_w + 1))
+    return top, left, crop_h, crop_w
+
+
 def resize_target_hw(h: int, w: int, size: int,
                      max_size: Optional[int]) -> Tuple[int, int]:
     """Output (h, w) of the reference's aspect-preserving resize."""

@@ -25,6 +25,7 @@ import jax
 import numpy as np
 
 from reftr_tpu.core import checkpoint as ckpt_lib
+from reftr_tpu.core import hub
 from reftr_tpu.core.config import RefTRConfig
 from reftr_tpu.core.distributed import initialize, is_main_process
 from reftr_tpu.core.logging import log_stats, master_print
@@ -109,6 +110,9 @@ def build_loaders(cfg: RefTRConfig, tokenizer):
 
 
 def _load_pretrained(params, path: str, cfg: RefTRConfig):
+    if hub.is_url(path):
+        # URL checkpoints (main_vg.py:307-309); the released .pth files
+        path = hub.download_checkpoint(path, progress_fn=master_print)
     if path.endswith((".pth", ".pt", ".bin")):
         from reftr_tpu.nn.convert import convert_reftr, load_torch_checkpoint
 
@@ -175,6 +179,16 @@ def run_training(cfg: RefTRConfig) -> Dict:
     if not resume and cfg.train.auto_resume and out_dir and \
             ckpt_lib.checkpoint_exists(out_dir, "checkpoint"):
         resume = os.path.join(out_dir, "checkpoint")
+    if resume and hub.is_url(resume):
+        # https:// resume (main_vg.py:307-309). Torch URL checkpoints carry
+        # a torch optimizer state we cannot map onto optax, so a URL resume
+        # restores MODEL WEIGHTS ONLY (the reference's live use of this path
+        # is eval/fine-tune from released checkpoints, which needs no
+        # optimizer state).
+        state = state.replace(
+            params=_load_pretrained(state.params, resume, cfg))
+        master_print(f"Resumed model weights from URL {resume}")
+        resume = None
     if resume:
         rdir, rname = os.path.dirname(resume) or ".", os.path.basename(resume)
         if cfg.train.resume_model_only:

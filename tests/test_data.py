@@ -288,3 +288,48 @@ def test_synthetic_multiphrase_e2e(synth_tok):
     t = {k: v for k, v in targets.items() if k in ("boxes", "box_valid")}
     losses = criterion(out, t, LossConfig())
     assert np.isfinite(float(losses["loss_bbox"]))
+
+
+def test_disk_backed_synthetic_roundtrip(tmp_path, synth_tok):
+    ds = SyntheticGroundingDataset(synth_tok, n=4, img_size=32)
+    s_mem, t_mem = ds[1]
+    ds.export_images(str(tmp_path))
+    assert len(list(tmp_path.glob("*.jpg"))) == 4
+    s_disk, t_disk = ds[1]
+    # JPEG is lossy: images close, targets identical
+    assert s_disk["image"].shape == s_mem["image"].shape
+    err = np.abs(s_disk["image"].astype(np.int32)
+                 - s_mem["image"].astype(np.int32)).mean()
+    assert err < 16.0  # JPEG noise; a wrong image would be ~85
+    np.testing.assert_array_equal(t_disk["boxes"], t_mem["boxes"])
+
+
+def test_loader_pipelines_across_batches():
+    """A straggler item in batch N must not stall batch N+1's fetches
+    (the round-1 loader pool.map'd one span to completion at a time)."""
+    import threading
+    import time
+
+    starts = {}
+    lock = threading.Lock()
+
+    class SlowFirst:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            with lock:
+                starts[i] = time.monotonic()
+            if i == 0:
+                time.sleep(1.0)
+            return ({"x": np.zeros(1, np.float32)},
+                    {"y": np.zeros(1, np.float32)})
+
+    loader = DataLoader(SlowFirst(), batch_size=2, num_workers=4,
+                        drop_last=True)
+    t0 = time.monotonic()
+    batches = list(iter(loader))
+    assert len(batches) == 4
+    # batch 1 items (2,3) started while item 0 was still sleeping
+    assert starts[2] - t0 < 0.6, "batch 2 fetch waited on batch 0 straggler"
+    assert starts[3] - t0 < 0.6

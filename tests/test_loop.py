@@ -66,6 +66,52 @@ def test_run_training_and_resume():
     assert "accuracy_iou0.5" in stats["test"]["val"]
 
 
+@pytest.mark.slow
+def test_resume_applies_overridden_lr():
+    """Resume with a changed --lr must train at the NEW lr from the restored
+    step (reference main_vg.py:320-336 rewrites optimizer LRs after restore;
+    our pure-function schedules + optimizer rebuild give the same semantics —
+    this asserts it instead of trusting 'by construction')."""
+    import orbax.checkpoint as ocp
+
+    from reftr_tpu.train.loop import run_training
+
+    out = tempfile.mkdtemp()
+
+    def cfg_with(lr, epochs):
+        cfg = micro_config(out, epochs=epochs)
+        cfg.train.lr = lr
+        cfg.train.lr_backbone = lr
+        cfg.train.lr_bert = lr
+        cfg.train.lr_schedule = "StepLR"
+        cfg.train.lr_drop = 1  # 0.1x every epoch -> schedule position visible
+        cfg.train.auto_resume = True
+        return cfg
+
+    r0 = run_training(cfg_with(1e-3, epochs=1))
+    assert np.isclose(r0["history"][0]["train_lr"], 1e-3)  # epoch 0: 1.0x
+
+    # resume with lr overridden 1e-3 -> 4e-4; epoch 1 sits past the first
+    # drop, so every step must log 4e-4 * 0.1 exactly
+    r1 = run_training(cfg_with(4e-4, epochs=2))
+    assert r1["history"][0]["epoch"] == 1
+    assert np.isclose(r1["history"][0]["train_lr"], 4e-4 * 0.1)
+
+    # resume with lr=0: the optimizer (not just the log) must apply the new
+    # rate -> params bit-identical across the whole epoch
+    run_training(cfg_with(0.0, epochs=3))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        p1 = ckptr.restore(os.path.join(out, "checkpoint0001"))["params"]
+        p2 = ckptr.restore(os.path.join(out, "checkpoint0002"))["params"]
+    import jax
+
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p1)[0],
+            jax.tree_util.tree_flatten_with_path(p2)[0]):
+        assert k1 == k2
+        np.testing.assert_array_equal(a, b, err_msg=str(k1))
+
+
 def test_learned_position_embedding():
     import jax
 

@@ -1,0 +1,137 @@
+"""Launcher, URL checkpoint hub, and crop/hflip capability transforms."""
+
+import http.server
+import os
+import sys
+import tempfile
+import threading
+
+import numpy as np
+import pytest
+
+from reftr_tpu.core import hub
+from reftr_tpu.data.transforms import (
+    center_crop_region,
+    crop,
+    hflip,
+    random_crop_region,
+)
+from reftr_tpu.tools.launch import build_env, launch, parse_args
+
+
+# ---------------------------------------------------------------- launcher
+
+def test_launcher_spawns_ranked_processes():
+    out = tempfile.mkdtemp()
+    script = (
+        "import os; open(os.path.join(%r, os.environ['JAX_PROCESS_ID']),"
+        " 'w').write(','.join(os.environ[k] for k in"
+        " ('JAX_PROCESS_ID', 'JAX_NUM_PROCESSES', 'LOCAL_RANK',"
+        " 'JAX_COORDINATOR_ADDRESS')))" % out)
+    args = parse_args([
+        "--nproc_per_node", "3", "--coordinator_port", "12355", "--",
+        sys.executable, "-c", script])
+    assert launch(args) == 0
+    got = {f: open(os.path.join(out, f)).read() for f in os.listdir(out)}
+    assert set(got) == {"0", "1", "2"}
+    for r in range(3):
+        pid, world, local, coord = got[str(r)].split(",")
+        assert (int(pid), int(world), int(local)) == (r, 3, r)
+        assert coord == "127.0.0.1:12355"
+
+
+def test_launcher_multinode_rank_offset():
+    args = parse_args(["--nnodes", "2", "--node_rank", "1",
+                       "--nproc_per_node", "4", "--", "true"])
+    env = build_env(args, local_rank=2)
+    assert env["JAX_PROCESS_ID"] == "6"
+    assert env["JAX_NUM_PROCESSES"] == "8"
+    assert env["RANK"] == "6" and env["WORLD_SIZE"] == "8"
+
+
+def test_launcher_propagates_child_failure():
+    # rank 1 fails fast; the launcher must return its code and reap rank 0
+    script = ("import os, sys, time\n"
+              "if os.environ['JAX_PROCESS_ID'] == '1': sys.exit(3)\n"
+              "time.sleep(30)\n")
+    args = parse_args(["--nproc_per_node", "2", "--",
+                       sys.executable, "-c", script])
+    assert launch(args) == 3  # returns promptly: sibling terminated
+
+
+# -------------------------------------------------------------------- hub
+
+def test_url_checkpoint_download_and_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("REFTR_CACHE_DIR", str(tmp_path / "cache"))
+    serve_dir = tmp_path / "srv"
+    serve_dir.mkdir()
+    (serve_dir / "model.pth").write_bytes(b"payload-v1")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(serve_dir), **kw)
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/model.pth"
+        assert hub.is_url(url) and not hub.is_url("/tmp/model.pth")
+        local = hub.download_checkpoint(url, progress_fn=lambda *_: None)
+        assert open(local, "rb").read() == b"payload-v1"
+        assert local.endswith("model.pth")
+        # cached: a second call must not re-fetch (server file changed)
+        (serve_dir / "model.pth").write_bytes(b"payload-v2")
+        again = hub.download_checkpoint(url, progress_fn=lambda *_: None)
+        assert again == local
+        assert open(again, "rb").read() == b"payload-v1"
+        # no stray .part files left behind
+        assert not [f for f in os.listdir(hub.cache_dir())
+                    if f.endswith(".part")]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+# ------------------------------------------------------------- crop/hflip
+
+def test_crop_box_clamp_and_keep(rng):
+    img = rng.integers(0, 255, (100, 120, 3)).astype(np.uint8)
+    boxes = np.array([
+        [10, 10, 50, 50],    # fully inside after shift
+        [0, 0, 18, 90],      # left of crop -> degenerate (w=0), dropped
+        [30, 5, 110, 40],    # clipped at the right edge
+    ], np.float32)
+    masks = rng.random((3, 100, 120)) > 0.5
+    out_img, out_boxes, keep, out_masks = crop(
+        img, boxes, (20, 20, 60, 80), masks=masks)
+    assert out_img.shape == (60, 80, 3)
+    np.testing.assert_array_equal(keep, [True, False, True])
+    # reference math (datasets/transforms.py:32-40): shift by (j,i)=(20,20),
+    # clamp to [0, (w=80, h=60)]
+    np.testing.assert_allclose(out_boxes, [[0, 0, 30, 30], [10, 0, 80, 20]])
+    assert out_masks.shape == (2, 60, 80)
+    np.testing.assert_array_equal(out_masks[0], masks[0, 20:80, 20:100])
+
+
+def test_hflip_matches_reference_math(rng):
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    boxes = np.array([[10, 5, 30, 25]], np.float32)
+    mask = rng.random((40, 60)) > 0.5
+    out_img, out_boxes, out_mask = hflip(img, boxes, masks=mask)
+    # x' = w - x (datasets/transforms.py:72): [60-30, 5, 60-10, 25]
+    np.testing.assert_allclose(out_boxes, [[30, 5, 50, 25]])
+    np.testing.assert_array_equal(out_img, img[:, ::-1])
+    np.testing.assert_array_equal(out_mask, mask[:, ::-1])
+    # involution
+    img2, boxes2 = hflip(out_img, out_boxes)
+    np.testing.assert_array_equal(img2, img)
+    np.testing.assert_allclose(boxes2, boxes)
+
+
+def test_crop_region_helpers(rng):
+    assert center_crop_region(100, 80, 60, 40) == (20, 20, 60, 40)
+    g = np.random.default_rng(0)
+    for _ in range(20):
+        t, l, h, w = random_crop_region(50, 70, 30, 30, g)
+        assert 0 <= t <= 20 and 0 <= l <= 40 and (h, w) == (30, 30)
+    assert random_crop_region(30, 30, 30, 30, g) == (0, 0, 30, 30)

@@ -104,6 +104,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="fused attention kernel; default auto (on for long"
                         " sequences on TPU)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--space_to_depth_stem", action="store_true",
+                   help="MXU-friendly stem: 2x2 space-to-depth + 4x4/s1 conv"
+                        " (exact fold of the 7x7/s2 stem)")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="fold FrozenBN scales into conv kernels at load")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of early steps")
     p.add_argument("--debug_nans", action="store_true",
@@ -151,6 +156,8 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.use_pallas_attention = {None: None, "auto": None, "on": True,
                               "off": False}[args.use_pallas_attention]
     m.remat = args.remat
+    m.space_to_depth_stem = args.space_to_depth_stem
+    m.fold_bn = args.fold_bn
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef

@@ -101,6 +101,11 @@ class ModelConfig:
     # (multi-level configs), XLA otherwise; True/False force it
     use_pallas_attention: Optional[bool] = None
     remat: bool = False  # jax.checkpoint the encoder/backbone for memory
+    # MXU-friendly stem: 2x2 space-to-depth + 4x4/s1 conv (exact fold of the
+    # 7x7/s2 stem, nn/fold.py); torch checkpoints fold at load
+    space_to_depth_stem: bool = False
+    # fold FrozenBN scales into conv kernels at load (bias-only BN)
+    fold_bn: bool = False
 
     @property
     def use_decoder(self) -> bool:

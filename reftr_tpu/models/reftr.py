@@ -93,6 +93,7 @@ class RefTR(nn.Module):
         self._dtype = dtype
         self.img_backbone = ResNet(
             mc.backbone, self.return_interm_layers, mc.dilation, dtype=dtype,
+            space_to_depth=mc.space_to_depth_stem, fold_bn=mc.fold_bn,
             name="img_backbone")
         self.lang_backbone = BertModel(mc.bert, dtype=dtype,
                                        name="lang_backbone")

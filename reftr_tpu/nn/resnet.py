@@ -44,10 +44,16 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    # folded: scale pre-multiplied into the preceding conv's kernel at load
+    # (nn/fold.py); only the shift remains, as a plain bias add.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         f = (self.features,)
+        if self.folded:
+            bias = self.param("bias", nn.initializers.zeros, f)
+            return x + bias.astype(x.dtype)
         weight = self.param("weight", nn.initializers.ones, f)
         bias = self.param("bias", nn.initializers.zeros, f)
         mean = self.param("running_mean", nn.initializers.zeros, f)
@@ -82,24 +88,30 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.width * 4
+        fold = self.fold_bn
         identity = x
         y = _conv(self.width, 1, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn1")(y)
+        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn1",
+                            folded=fold)(y)
         y = nn.relu(y)
         y = _conv(self.width, 3, self.stride, self.dilation, self.dtype, "conv2")(y)
-        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn2")(y)
+        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn2",
+                            folded=fold)(y)
         y = nn.relu(y)
         y = _conv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
+        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3",
+                            folded=fold)(y)
         if self.downsample:
             identity = _conv(out_ch, 1, self.stride, dtype=self.dtype,
                              name="downsample_conv")(x)
             identity = FrozenBatchNorm(out_ch, dtype=self.dtype,
-                                       name="downsample_bn")(identity)
+                                       name="downsample_bn",
+                                       folded=fold)(identity)
         return nn.relu(y + identity)
 
 
@@ -114,13 +126,34 @@ class ResNet(nn.Module):
     return_interm_layers: bool = False
     dilation: bool = False  # DC5: dilate layer4 instead of striding
     dtype: Any = jnp.float32
+    # TPU stem: 2x2 space-to-depth + 4x4/s1 conv on 12 channels, exactly
+    # equivalent to the 7x7/s2 conv on 3 channels (which uses <3% of the
+    # MXU's 128 contraction lanes). Weight fold: nn/fold.py.
+    space_to_depth: bool = False
+    fold_bn: bool = False  # BN scale folded into conv kernels at load
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         blocks = RESNET_LAYERS[self.name_or_depth]
         x = x.astype(self.dtype)
-        x = _conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        if self.space_to_depth:
+            b, h, w, c = x.shape
+            assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even H, W"
+            out_h, out_w = (h + 1) // 2, (w + 1) // 2
+            x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+            x = x.reshape(b, (h + 8) // 2, 2, (w + 8) // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(b, (h + 8) // 2, (w + 8) // 2, 4 * c)
+            x = nn.Conv(64, (4, 4), strides=(1, 1), padding="VALID",
+                        use_bias=False, dtype=self.dtype,
+                        name="conv1_s2d")(x)
+            # the symmetric pad-4 admits one extra output row/col vs the
+            # original pad-3 stride-2 grid — slice it off
+            x = x[:, :out_h, :out_w]
+        else:
+            x = _conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1",
+                            folded=self.fold_bn)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -141,6 +174,7 @@ class ResNet(nn.Module):
                     dilation=block_dilation,
                     downsample=(b == 0),
                     dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f"layer{stage}_{b}",
                 )(x)
             feats.append(x)

@@ -133,6 +133,9 @@ def _load_pretrained(params, path: str, cfg: RefTRConfig):
                 sd, cfg.model.enc_layers, cfg.model.dec_layers,
                 cfg.model.bert.num_hidden_layers, cfg.model.backbone,
                 cfg.model.num_feature_levels)
+        from reftr_tpu.nn.fold import optimize_backbone_in_tree
+
+        pre = optimize_backbone_in_tree(pre, cfg.model)
         return ckpt_lib.load_pretrained_nonstrict(params, pre,
                                                   log=master_print)
     # our own orbax checkpoint

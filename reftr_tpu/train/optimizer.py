@@ -56,7 +56,8 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
                 return "frozen"
             bb_idx = parts.index("img_backbone")
             child = parts[bb_idx + 1] if bb_idx + 1 < len(parts) else ""
-            if child in ("conv1", "bn1") or child.startswith("layer1_"):
+            if child in ("conv1", "conv1_s2d", "bn1") or \
+                    child.startswith("layer1_"):
                 return "frozen"
             return "backbone" if train_backbone else "frozen"
         if "lang_backbone" in path:

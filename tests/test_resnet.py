@@ -205,3 +205,68 @@ def test_resnet101_shapes(rng):
     assert "layer3_22" in params["params"]
     (f4,) = model.apply(params, x)
     assert f4.shape == (1, 2, 2, 2048)
+
+
+def test_space_to_depth_and_fold_bn_equivalence(rng):
+    """The optimized stem (2x2 s2d + 4x4/s1 conv) and folded FrozenBN are
+    exact reparameterizations of the standard backbone (nn/fold.py)."""
+    import jax
+
+    from reftr_tpu.nn.fold import optimize_resnet_params
+
+    base = ResNet("resnet50", return_interm_layers=True)
+    x = rng.normal(size=(2, 64, 96, 3)).astype(np.float32)
+    params = model_params = base.init(jax.random.PRNGKey(0), x)["params"]
+    # randomize BN stats so the fold is non-trivial
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (np.abs(rng.normal(size=v.shape)).astype(np.float32)
+                      + 0.5) if "running_var" in jax.tree_util.keystr(p)
+        else (rng.normal(size=v.shape).astype(np.float32) * 0.1 + v
+              if "running_mean" in jax.tree_util.keystr(p) else v),
+        params)
+    ref = base.apply({"params": params}, x)
+
+    for s2d, fold in ((True, False), (False, True), (True, True)):
+        opt_model = ResNet("resnet50", return_interm_layers=True,
+                           space_to_depth=s2d, fold_bn=fold)
+        opt_params = optimize_resnet_params(params, space_to_depth=s2d,
+                                            fold_bn=fold)
+        # param tree structurally matches a fresh init of the same flags
+        init_tree = jax.tree_util.tree_structure(
+            opt_model.init(jax.random.PRNGKey(1), x)["params"])
+        assert jax.tree_util.tree_structure(opt_params) == init_tree
+        out = opt_model.apply({"params": opt_params}, x)
+        for a, b in zip(ref, out):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"s2d={s2d} fold={fold}")
+
+
+def test_fold_matches_torch_converted_weights(rng):
+    """Stem fold on real converter output: torch 7x7 kernel -> s2d kernel,
+    conv1 output equal on a small input."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reftr_tpu.nn.convert import conv as conv_convert
+    from reftr_tpu.nn.fold import fold_conv1_to_s2d
+
+    w = torch.randn(64, 3, 7, 7)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    # torch oracle
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = torch.nn.functional.conv2d(
+        xt, w, stride=2, padding=3).numpy().transpose(0, 2, 3, 1)
+    # folded path
+    k = fold_conv1_to_s2d(conv_convert({"c.weight": w}, "c")["kernel"])
+    xp = jnp.pad(jnp.asarray(x), ((0, 0), (4, 4), (4, 4), (0, 0)))
+    b, hp, wp, c = xp.shape
+    y = xp.reshape(b, hp // 2, 2, wp // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+    got = jax.lax.conv_general_dilated(
+        y, jnp.asarray(k), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :16, :16]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

@@ -486,3 +486,44 @@ def fused_attention(
     out = _attention(qt, kt, vt, bias, seed, block_q, block_k, interpret,
                      float(dropout_rate))
     return out.transpose(0, 2, 1, 3).astype(in_dtype)
+
+
+def fused_attention_sharded(
+    q: jnp.ndarray,  # [B, Sq, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray],  # [B, Sk] bool
+    mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    **kwargs,
+) -> jnp.ndarray:
+    """fused_attention under a (data, model) mesh via shard_map.
+
+    pallas_call is opaque to XLA's SPMD partitioner — under pjit with
+    sharded operands it would be wrapped in all-gathers. Attention is
+    independent per batch element AND per head, so shard_map with batch
+    over `data_axis` and heads over `model_axis` (the Megatron activation
+    layout after the column-sharded qkv projections,
+    parallel/sharding.py:37-46) runs the kernel purely locally — zero
+    collectives. Head count must divide the model-axis size.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    h = q.shape[2]
+    if h % mesh.shape[model_axis]:
+        raise ValueError(f"{h} heads not divisible by "
+                         f"{model_axis}={mesh.shape[model_axis]}")
+    qkv_spec = P(data_axis, None, model_axis, None)
+    mask_spec = P(data_axis, None)
+
+    def local(q, k, v, m):
+        return fused_attention(q, k, v, m, **kwargs)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+        out_specs=qkv_spec,
+        check_vma=False,  # pallas_call has no varying-manual-axes rule
+    )(q, k, v, valid_mask)

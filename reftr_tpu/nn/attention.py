@@ -74,8 +74,12 @@ class MultiHeadAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             # auto: only where measured faster (long sequences on TPU) and
-            # safe (single device — pallas_call under a multi-device pjit
-            # needs explicit shard_map integration; planned)
+            # safe. pallas_call is opaque to the SPMD partitioner, so under
+            # a multi-device pjit it would be wrapped in all-gathers; the
+            # shard_map integration exists (kernels.attention.
+            # fused_attention_sharded, head-sharded over 'model', tested on
+            # a 4x2 mesh) but needs the mesh plumbed to the module, so auto
+            # stays single-device until then.
             use_pallas = (k.shape[1] >= 1024
                           and jax.default_backend() == "tpu"
                           and jax.device_count() == 1)

@@ -62,6 +62,10 @@ def build_reference_model(ref_modules):
 
     torch.manual_seed(11)
     img_backbone = ref_bb.build_backbone(A)
+    # NB the reference zero-inits bbox_embed's LAST layer
+    # (reftr_transformer.py:131-132), which makes every pred box a constant
+    # sigmoid(0)=0.5 under random weights — box parity would be trivially
+    # true. randomize_bbox_head() below restores a real signal.
     vl = ref_vl.build_vl_transformer(A)
     hf_cfg = HFBertConfig(
         vocab_size=512, hidden_size=64, num_hidden_layers=2,
@@ -81,7 +85,17 @@ def build_reference_model(ref_modules):
         elif k.endswith("running_var"):
             sd[k] = torch.rand(v.shape, generator=g) + 0.5
     model.load_state_dict(sd)
+    randomize_bbox_head(model, g)
     return model.eval()
+
+
+def randomize_bbox_head(model, g):
+    """Un-zero bbox_embed's last layer so box outputs depend on the input
+    (small scale keeps sigmoid outputs away from saturation)."""
+    last = model.bbox_embed.layers[-1]
+    with torch.no_grad():
+        last.weight.copy_(torch.randn(last.weight.shape, generator=g) * 0.05)
+        last.bias.copy_(torch.randn(last.bias.shape, generator=g) * 0.1)
 
 
 def make_inputs(rng, multi_phrase=False):
@@ -249,6 +263,7 @@ def test_seg_full_parity(ref_modules, rng):
         elif k.endswith("running_var"):
             sd[k] = torch.rand(v.shape, generator=g) + 0.5
     ref_model.load_state_dict(sd)
+    randomize_bbox_head(ref_model, g)
 
     torch_samples, our_batch = make_inputs(rng)
     with torch.no_grad():

@@ -171,3 +171,51 @@ def test_kernel_dropout_gradients_match_mask_oracle(rng):
         a, w = np.asarray(a), np.asarray(w)
         # floor is the MXU's default-precision rounding, ~5e-3 of max
         assert np.max(np.abs(a - w)) / (np.max(np.abs(w)) + 1e-9) < 2e-2
+
+
+def test_fused_attention_sharded_tp_mesh(rng):
+    """Kernel under a (data=4, model=2) mesh via shard_map: batch sharded
+    over data, heads over model — forward and gradients match the XLA
+    oracle with zero collectives (interpret mode on the CPU mesh)."""
+    from jax.sharding import Mesh
+
+    from reftr_tpu.kernels.attention import fused_attention_sharded
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    q, k, v, valid = make_qkv(rng, b=8, sq=40, sk=64, h=4, d=32)
+    bias = np.where(valid, 0.0, -1e9).astype(np.float32)
+    want = np.asarray(_xla_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), bias)).transpose(0, 2, 1, 3)
+
+    got = np.asarray(fused_attention_sharded(
+        q, k, v, valid, mesh, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the shard_map'd custom-vjp kernel
+    def loss_sharded(q, k, v):
+        return jnp.sum(fused_attention_sharded(
+            q, k, v, valid, mesh, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        out = _xla_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                             v.transpose(0, 2, 1, 3), bias)
+        return jnp.sum(out.transpose(0, 2, 1, 3) ** 2)
+
+    g1 = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_sharded_rejects_bad_head_split(rng):
+    from jax.sharding import Mesh
+
+    from reftr_tpu.kernels.attention import fused_attention_sharded
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    q, k, v, valid = make_qkv(rng, b=8, h=3)
+    with pytest.raises(ValueError, match="heads not divisible"):
+        fused_attention_sharded(q, k, v, valid, mesh, interpret=True)

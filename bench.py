@@ -1,12 +1,16 @@
-"""Benchmark: RefTR flagship inference throughput on one chip.
+"""Benchmark: RefTR flagship throughput on one chip.
 
-Prints exactly one JSON line:
+Default mode prints exactly one JSON line (the driver contract):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measures steady-state eval-forward throughput (images/sec/chip) of the
-flagship model (ResNet-50 + BERT-base + 6+6 VL transformer, 640x640, the
-configs/refcoco/RefTR_refcoco.sh REC shape) in bfloat16 with data resident
-on device — the serving hot path.
+Modes (argv[1]):
+  (none) / rec : eval-forward throughput of the flagship REC model
+                 (ResNet-50 + BERT-base + 6+6 VL transformer, 640x640,
+                 bf16, the configs/refcoco/RefTR_refcoco.sh shape)
+  seg          : RefTRSeg (REC+RES: MHAttentionMap + FPN mask head at
+                 160x160, reference reftr_segmentation.py:152-280)
+  train        : full fused train step (fwd+bwd+clip+AdamW, aux loss on)
+  train_opt    : train with --space_to_depth_stem --fold_bn
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
 below is our recorded estimate of the PyTorch reference's per-GPU A100
@@ -22,43 +26,31 @@ import time
 import numpy as np
 
 A100_PYTORCH_BASELINE_IMG_PER_SEC = 85.0
-BATCH = 64
+# same protocol guess for the heavier seg forward (mask head at 160x160)
+A100_PYTORCH_SEG_BASELINE_IMG_PER_SEC = 60.0
+A100_PYTORCH_TRAIN_BASELINE_IMG_PER_SEC = 30.0
 STEPS = 20
 WARMUP = 3
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
-    from reftr_tpu.core.config import ModelConfig, RefTRConfig
-    from reftr_tpu.models import build_model
-
-    cfg = RefTRConfig(model=ModelConfig(dtype="bfloat16", aux_loss=False))
-    model, _ = build_model(cfg)
-
-    rng = np.random.default_rng(0)
-    b, hw, s = BATCH, cfg.data.img_size, cfg.data.max_query_len
+def make_batch(rng, b, hw, s, vocab):
     sv = np.zeros((b, s), np.int32)
     for i in range(b):
         sv[i, : 5 + (i % 30)] = 1
-    iv = np.ones((b, hw, hw), bool)
-    batch = {
+    return {
         "image": rng.normal(size=(b, hw, hw, 3)).astype(np.float32),
-        "image_valid": iv,
-        "sentence": rng.integers(1, cfg.model.bert.vocab_size,
-                                 size=(b, s)).astype(np.int32),
+        "image_valid": np.ones((b, hw, hw), bool),
+        "sentence": rng.integers(1, vocab, size=(b, s)).astype(np.int32),
         "sentence_valid": sv,
     }
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    batch = jax.device_put(batch)
 
-    # NOTE measurement integrity: the remote TPU tunnel (axon) memoizes
-    # identical program+args executions AND block_until_ready does not
-    # actually wait for device completion. So (a) every step perturbs the
-    # input, (b) timing is bounded by a device->host fetch of the result.
+def measure_eval(model, params, batch, batch_size, steps=STEPS):
+    """NOTE measurement integrity: the remote TPU tunnel (axon) memoizes
+    identical program+args executions AND block_until_ready does not
+    actually wait for device completion. So (a) every step perturbs the
+    input, (b) timing is bounded by a device->host fetch of the result."""
+    import jax
     import jax.numpy as jnp
 
     @jax.jit
@@ -67,25 +59,135 @@ def main():
                      image=batch["image"] + step.astype(jnp.float32) * 1e-6)
         return model.apply(params, batch)["pred_boxes"]
 
-    # compile + warmup
     np.asarray(fwd(params, batch, jnp.asarray(0)))
     for i in range(WARMUP):
         np.asarray(fwd(params, batch, jnp.asarray(i + 1)))
-
-    # pipelined steady state: submit STEPS executions with distinct inputs,
+    # pipelined steady state: submit executions with distinct inputs,
     # fetch the last result (serial device queue => all completed).
     t0 = time.perf_counter()
-    outs = [fwd(params, batch, jnp.asarray(100 + i)) for i in range(STEPS)]
+    outs = [fwd(params, batch, jnp.asarray(100 + i)) for i in range(steps)]
     np.asarray(outs[-1])
     dt = time.perf_counter() - t0
+    return batch_size * steps / dt
 
-    imgs_per_sec = BATCH * STEPS / dt
-    print(json.dumps({
+
+def bench_rec(batch_size=64):
+    import jax
+
+    from reftr_tpu.core.config import ModelConfig, RefTRConfig
+    from reftr_tpu.models import build_model
+
+    cfg = RefTRConfig(model=ModelConfig(dtype="bfloat16", aux_loss=False))
+    model, _ = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, batch_size, cfg.data.img_size,
+                       cfg.data.max_query_len, cfg.model.bert.vocab_size)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    batch = jax.device_put(batch)
+    ips = measure_eval(model, params, batch, batch_size)
+    return {
         "metric": "inference_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 2),
+        "value": round(ips, 2),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
-    }))
+        "vs_baseline": round(ips / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
+    }
+
+
+def bench_seg(batch_size=32):
+    import jax
+
+    from reftr_tpu.core.config import ModelConfig, RefTRConfig
+    from reftr_tpu.models import build_model
+
+    cfg = RefTRConfig(model=ModelConfig(dtype="bfloat16", aux_loss=False,
+                                        masks=True))
+    model, _ = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, batch_size, cfg.data.img_size,
+                       cfg.data.max_query_len, cfg.model.bert.vocab_size)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    batch = jax.device_put(batch)
+    ips = measure_eval(model, params, batch, batch_size)
+    return {
+        "metric": "seg_inference_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / A100_PYTORCH_SEG_BASELINE_IMG_PER_SEC, 3),
+    }
+
+
+def bench_train(batch_size=32, optimized=False):
+    import jax
+    import jax.numpy as jnp
+
+    from reftr_tpu.core.config import (LossConfig, ModelConfig, RefTRConfig,
+                                       TrainConfig)
+    from reftr_tpu.models import build_model
+    from reftr_tpu.train.optimizer import build_optimizer
+    from reftr_tpu.train.schedules import build_schedule
+    from reftr_tpu.train.state import TrainState
+    from reftr_tpu.train.steps import make_train_step
+
+    mc = ModelConfig(dtype="bfloat16", aux_loss=True,
+                     space_to_depth_stem=optimized, fold_bn=optimized)
+    cfg = RefTRConfig(model=mc)
+    model, wd = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b = batch_size
+    batch = make_batch(rng, b, cfg.data.img_size, cfg.data.max_query_len,
+                       mc.bert.vocab_size)
+    targets = {
+        "boxes": rng.uniform(0.3, 0.6, size=(b, 1, 4)).astype(np.float32),
+        "box_valid": np.ones((b, 1), bool),
+    }
+    tc = TrainConfig(lr=1e-4)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)["params"]
+    tx = build_optimizer(mc, tc, build_schedule(tc, steps_per_epoch=1000))
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, wd, LossConfig(), world_size=1, donate=True)
+    batch = jax.device_put(batch)
+    targets = jax.device_put(targets)
+
+    def perturbed(i):
+        return dict(batch, image=batch["image"] + np.float32(i) * 1e-6)
+
+    state, m = step(state, perturbed(0), targets)
+    for i in range(2):
+        state, m = step(state, perturbed(i + 1), targets)
+    float(m["loss"])
+    steps = 12
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, perturbed(100 + i), targets)
+    float(m["loss"])  # device->host fetch bounds the timing
+    dt = time.perf_counter() - t0
+    ips = b * steps / dt
+    return {
+        "metric": ("train_opt" if optimized else "train")
+                  + "_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(
+            ips / A100_PYTORCH_TRAIN_BASELINE_IMG_PER_SEC, 3),
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    mode = sys.argv[1] if len(sys.argv) > 1 else "rec"
+    if mode == "rec":
+        out = bench_rec()
+    elif mode == "seg":
+        out = bench_seg()
+    elif mode == "train":
+        out = bench_train()
+    elif mode == "train_opt":
+        out = bench_train(optimized=True)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

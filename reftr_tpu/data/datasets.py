@@ -358,13 +358,18 @@ class SyntheticGroundingDataset:
     def __init__(self, tokenizer: WordPieceTokenizer, n: int = 128,
                  img_size: int = 64, max_query_len: int = 12,
                  with_masks: bool = False, seed: int = 0,
-                 canvas: Optional[int] = None):
+                 canvas: Optional[int] = None,
+                 box_frac: Tuple[float, float] = (1 / 6, 1 / 3)):
         self.tokenizer = tokenizer
         self.n = n
         self.img_size = img_size
         self.canvas = canvas or img_size
         self.max_query_len = max_query_len
         self.with_masks = with_masks
+        # rectangle side range as a fraction of img_size; the e2e learning
+        # test uses larger boxes so IoU@0.5 is a localization test, not a
+        # sub-stride precision test
+        self.box_frac = box_frac
         self.rng = np.random.default_rng(seed)
         self._items = [self._make(i) for i in range(n)]
         self._paths: Optional[List[str]] = None
@@ -392,8 +397,9 @@ class SyntheticGroundingDataset:
         img += rng.integers(-20, 20, size=img.shape).astype(np.uint8)
         color = list(_COLORS)[rng.integers(len(_COLORS))]
         side = "left" if rng.random() < 0.5 else "right"
-        w = int(rng.integers(s // 6, s // 3))
-        h = int(rng.integers(s // 6, s // 3))
+        lo, hi = (max(2, int(s * f)) for f in self.box_frac)
+        w = int(rng.integers(lo, hi))
+        h = int(rng.integers(lo, hi))
         x0 = int(rng.integers(0, s // 2 - w)) if side == "left" else int(
             rng.integers(s // 2, s - w))
         y0 = int(rng.integers(0, s - h))

@@ -473,7 +473,8 @@ class SyntheticMultiPhraseDataset:
     def __init__(self, tokenizer: WordPieceTokenizer, n: int = 128,
                  img_size: int = 64, max_sentence_len: int = 20,
                  phrase_seq_len: int = 8, max_num_phrases: int = 4,
-                 seed: int = 0, canvas: Optional[int] = None):
+                 seed: int = 0, canvas: Optional[int] = None,
+                 box_frac: Tuple[float, float] = (1 / 6, 1 / 3)):
         self.tokenizer = tokenizer
         self.n = n
         self.img_size = img_size
@@ -481,6 +482,7 @@ class SyntheticMultiPhraseDataset:
         self.max_sentence_len = max_sentence_len
         self.phrase_seq_len = phrase_seq_len
         self.max_num_phrases = max_num_phrases
+        self.box_frac = box_frac
         self.rng = np.random.default_rng(seed)
         self._packer = FlickrMultiPhraseDataset.pack_language
 
@@ -496,8 +498,9 @@ class SyntheticMultiPhraseDataset:
         c_right = [c for c in colors if c != c_left][rng.integers(2)]
         boxes = []
         for side, color in (("left", c_left), ("right", c_right)):
-            w = int(rng.integers(s // 6, s // 3))
-            h = int(rng.integers(s // 6, s // 3))
+            lo, hi = (max(2, int(s * f)) for f in self.box_frac)
+            w = int(rng.integers(lo, hi))
+            h = int(rng.integers(lo, hi))
             x0 = int(rng.integers(0, s // 2 - w)) if side == "left" else int(
                 rng.integers(s // 2, s - w))
             y0 = int(rng.integers(0, s - h))

@@ -135,3 +135,73 @@ def test_crop_region_helpers(rng):
         t, l, h, w = random_crop_region(50, 70, 30, 30, g)
         assert 0 <= t <= 20 and 0 <= l <= 40 and (h, w) == (30, 30)
     assert random_crop_region(30, 30, 30, 30, g) == (0, 0, 30, 30)
+
+
+@pytest.mark.slow
+def test_url_pretrained_end_to_end(tmp_path, monkeypatch):
+    """https:// pretrained load, end to end: a reference-shaped torch
+    checkpoint served over HTTP is downloaded (core/hub.py), converted
+    (nn/convert.py), and merged into live params — the reference's
+    torch.hub URL resume (main_vg.py:307-309)."""
+    import torch
+
+    from tests.test_full_model_parity import build_reference_model
+    from tests import torchvision_stub
+
+    torchvision_stub.install()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import models.reftr_transformer as ref_rt
+        import models.reftr as ref_vl
+        import models.modeling.backbone as ref_bb
+    finally:
+        sys.path.remove("/root/reference")
+
+    ref_model = build_reference_model((ref_rt, ref_vl, ref_bb))
+    ckpt = tmp_path / "srv" / "reftr_toy.pth"
+    ckpt.parent.mkdir()
+    torch.save({"model": ref_model.state_dict()}, str(ckpt))
+
+    monkeypatch.setenv("REFTR_CACHE_DIR", str(tmp_path / "cache"))
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(ckpt.parent), **kw)
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        import jax
+
+        from reftr_tpu.core.config import BertConfig, ModelConfig, RefTRConfig
+        from reftr_tpu.models.reftr import RefTR
+        from reftr_tpu.nn.convert import convert_reftr
+        from reftr_tpu.train.loop import _load_pretrained
+        from tests.test_full_model_parity import (
+            DEC, ENC, FFN, HEADS, HIDDEN, make_inputs)
+
+        cfg = RefTRConfig(model=ModelConfig(
+            hidden_dim=HIDDEN, nheads=HEADS, enc_layers=ENC, dec_layers=DEC,
+            dim_feedforward=FFN, dropout=0.0, aux_loss=True,
+            bert=BertConfig.tiny(), dtype="float32"))
+        model = RefTR(cfg.model)
+        rng = np.random.default_rng(0)
+        _, batch = make_inputs(rng)
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+        url = f"http://127.0.0.1:{port}/reftr_toy.pth"
+        loaded = _load_pretrained(params, url, cfg)
+
+        want = convert_reftr(ref_model.state_dict(), ENC, DEC, bert_layers=2,
+                             backbone="resnet50", num_feature_levels=1)
+        got_leaf = np.asarray(
+            loaded["vl_transformer"]["encoder"]["layers_0"]["self_attn"]
+            ["q_proj"]["kernel"])
+        np.testing.assert_allclose(
+            got_leaf,
+            want["vl_transformer"]["encoder"]["layers_0"]["self_attn"]
+            ["q_proj"]["kernel"], rtol=1e-6)
+        bb = np.asarray(loaded["img_backbone"]["conv1"]["kernel"])
+        np.testing.assert_allclose(
+            bb, want["img_backbone"]["conv1"]["kernel"], rtol=1e-6)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

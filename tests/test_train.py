@@ -227,3 +227,39 @@ def test_checkpoint_roundtrip_tp_mesh(tmp_path):
         s_b, m_b = step(state2, shard_batch(batch, mesh),
                         shard_batch(targets, mesh))
         assert float(m_a["loss"]) == float(m_b["loss"])
+
+
+def test_sgd_matches_torch_semantics():
+    """--sgd: weight decay added to the gradient BEFORE momentum (torch
+    SGD semantics, main_vg.py:263-268), verified step-by-step vs
+    torch.optim.SGD on the same trajectory."""
+    import torch
+
+    from reftr_tpu.train.optimizer import build_optimizer
+    from reftr_tpu.train.schedules import build_schedule
+
+    mc = tiny_model_config()
+    tc = TrainConfig(lr=0.1, sgd=True, momentum=0.9, weight_decay=1e-2,
+                     clip_max_norm=0.0, lr_schedule="StepLR", lr_drop=10**6)
+    # a 'base'-labeled leaf: bbox_embed
+    p0 = np.linspace(-1.0, 1.0, 12).reshape(3, 4).astype(np.float32)
+    params = {"bbox_embed": {"layers_0": {"kernel": jnp.asarray(p0)}}}
+    tx = build_optimizer(mc, tc, build_schedule(tc, steps_per_epoch=10))
+    state = tx.init(params)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.SGD([tp], lr=0.1, momentum=0.9, weight_decay=1e-2)
+
+    cur = params
+    for step in range(5):
+        g = {"bbox_embed": {"layers_0": {"kernel": cur["bbox_embed"][
+            "layers_0"]["kernel"] * 0.5 + step * 0.01}}}
+        updates, state = tx.update(g, state, cur)
+        cur = jax.tree_util.tree_map(lambda p, u: p + u, cur, updates)
+
+        topt.zero_grad()
+        tp.grad = tp.detach() * 0.5 + step * 0.01
+        topt.step()
+        np.testing.assert_allclose(
+            np.asarray(cur["bbox_embed"]["layers_0"]["kernel"]),
+            tp.detach().numpy(), rtol=1e-5, atol=1e-6, err_msg=f"step {step}")

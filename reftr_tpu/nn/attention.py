@@ -73,16 +73,26 @@ class MultiHeadAttention(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas is None:
-            # auto: only where measured faster (long sequences on TPU) and
-            # safe. pallas_call is opaque to the SPMD partitioner, so under
-            # a multi-device pjit it would be wrapped in all-gathers; the
-            # shard_map integration exists (kernels.attention.
-            # fused_attention_sharded, head-sharded over 'model', tested on
-            # a 4x2 mesh) but needs the mesh plumbed to the module, so auto
-            # stays single-device until then.
-            use_pallas = (k.shape[1] >= 1024
-                          and jax.default_backend() == "tpu"
-                          and jax.device_count() == 1)
+            # auto: only where measured faster and safe. pallas_call is
+            # opaque to the SPMD partitioner, so under a multi-device pjit
+            # it would be wrapped in all-gathers; the shard_map integration
+            # exists (kernels.attention.fused_attention_sharded,
+            # head-sharded over 'model', tested on a 4x2 mesh) but needs
+            # the mesh plumbed to the module, so auto stays single-device.
+            # Where it wins (v5e, PERFORMANCE.md):
+            #   * inference: Sk >= 1024 only (at S=440 XLA's materialized
+            #     attention is fine and head_dim 32 wastes MXU lanes),
+            #   * TRAINING: already at S~440 — the profile shows XLA's
+            #     softmax/backward fusions over the materialized
+            #     [B,H,S,S] logits at ~0.2% FLOPs util eating ~25% of the
+            #     step; the flash kernels (with in-kernel dropout) take the
+            #     flagship train step 180 -> 169 ms. Decoder queries are
+            #     tiny (Sq = n_q), so gate on Sq too.
+            use_pallas = (jax.default_backend() == "tpu"
+                          and jax.device_count() == 1
+                          and (k.shape[1] >= 1024
+                               or (not deterministic and sq >= 256
+                                   and k.shape[1] >= 256)))
         if use_pallas:
             from reftr_tpu.kernels.attention import fused_attention
 

@@ -30,6 +30,13 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_bert", default=None, type=float,
                    help="defaults to --lr_backbone like the reference")
     p.add_argument("--lr_mask_branch_proj", default=1.0, type=float)
+    p.add_argument("--lr_backbone_names", default=["img_backbone"],
+                   type=str, nargs="+")
+    p.add_argument("--lr_bert_names", default=["lang_backbone"],
+                   type=str, nargs="+")
+    p.add_argument("--lr_mask_branch_names",
+                   default=["bbox_attention", "mask_head"],
+                   type=str, nargs="+")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--weight_decay", default=1e-4, type=float)
     p.add_argument("--epochs", default=60, type=int)
@@ -50,7 +57,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--dilation", action="store_true")
     p.add_argument("--position_embedding", default="sine", type=str,
                    choices=("sine", "learned"))
-    p.add_argument("--num_feature_levels", default=1, type=int)
+    # default 4 matches the reference's argparse (main_vg.py:71); every
+    # shipped preset/config overrides to 1, like the reference configs/*.sh
+    p.add_argument("--num_feature_levels", default=4, type=int)
     p.add_argument("--enc_layers", default=6, type=int)
     p.add_argument("--dec_layers", default=6, type=int)
     p.add_argument("--no_decoder", action="store_true")
@@ -183,6 +192,9 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     t.lr_backbone = args.lr_backbone
     t.lr_bert = args.lr_bert if args.lr_bert is not None else args.lr_backbone
     t.lr_mask_branch_proj = args.lr_mask_branch_proj
+    t.lr_backbone_names = tuple(args.lr_backbone_names)
+    t.lr_bert_names = tuple(args.lr_bert_names)
+    t.lr_mask_branch_names = tuple(args.lr_mask_branch_names)
     t.sgd = args.sgd
     t.weight_decay = args.weight_decay
     t.clip_max_norm = args.clip_max_norm

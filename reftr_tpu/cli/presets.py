@@ -81,7 +81,7 @@ PRESETS: Dict[str, Dict] = {
         enc_layers=2, dec_layers=2, dim_feedforward=128, hidden_dim=64,
         nheads=4, lr=3e-4, lr_backbone=3e-4, lr_schedule="CosineWarmupLR",
         warm_up_epoch=1, aux_loss=True, dtype="float32", num_workers=4,
-        bert_size="tiny",
+        bert_size="tiny", num_feature_levels=1,
     ),
 }
 

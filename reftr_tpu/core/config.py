@@ -181,6 +181,12 @@ class TrainConfig:
     lr_backbone: float = 1e-5
     lr_bert: float = 1e-5
     lr_mask_branch_proj: float = 1.0  # multiplier on base lr
+    # param-name keywords selecting each LR group (main_vg.py:223-262;
+    # reference defaults img_backbone.0 / lang_backbone / bbox_attention+
+    # mask_head, expressed in this framework's param paths)
+    lr_backbone_names: Tuple[str, ...] = ("img_backbone",)
+    lr_bert_names: Tuple[str, ...] = ("lang_backbone",)
+    lr_mask_branch_names: Tuple[str, ...] = ("bbox_attention", "mask_head")
     sgd: bool = False
     momentum: float = 0.9
     weight_decay: float = 1e-4

@@ -40,13 +40,18 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
     """Returns params -> same-structure tree of group labels."""
     train_backbone = train_cfg.lr_backbone > 0 and not model_cfg.freeze_backbone
 
+    def match(path: str, keywords) -> bool:
+        # reference match_name_keywords (main_vg.py:223-229): substring
+        return any(k in path for k in keywords)
+
     def label_one(key_path, _v) -> str:
         parts = []
         for k in key_path:
             parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
         path = "/".join(parts)
         leaf = parts[-1]
-        if "img_backbone" in path:
+        if "img_backbone" in parts:
+            # structural freezes, regardless of LR-group targeting:
             # FrozenBN tensors are buffers; stem + layer1 never train.
             # NB: match the STEM's conv1/bn1 only (the module directly under
             # img_backbone) — every Bottleneck also has a conv1/bn1 that must
@@ -59,10 +64,11 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
             if child in ("conv1", "conv1_s2d", "bn1") or \
                     child.startswith("layer1_"):
                 return "frozen"
+        if match(path, train_cfg.lr_backbone_names):
             return "backbone" if train_backbone else "frozen"
-        if "lang_backbone" in path:
+        if match(path, train_cfg.lr_bert_names):
             return "frozen" if model_cfg.freeze_bert else "bert"
-        if "bbox_attention" in path or "mask_head" in path:
+        if match(path, train_cfg.lr_mask_branch_names):
             return "mask_branch"
         if model_cfg.freeze_reftr:
             return "frozen"

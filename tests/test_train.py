@@ -263,3 +263,30 @@ def test_sgd_matches_torch_semantics():
         np.testing.assert_allclose(
             np.asarray(cur["bbox_embed"]["layers_0"]["kernel"]),
             tp.detach().numpy(), rtol=1e-5, atol=1e-6, err_msg=f"step {step}")
+
+
+def test_lr_group_name_targeting():
+    """--lr_backbone_names / --lr_bert_names / --lr_mask_branch_names
+    retarget the LR groups by substring, like the reference's
+    match_name_keywords grouping (main_vg.py:223-262); structural freezes
+    (FrozenBN buffers, stem, layer1) still apply."""
+    mc = tiny_model_config()
+    model = RefTR(mc)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0),
+                        single_phrase_batch(rng))["params"]
+    tc = TrainConfig(lr_bert_names=("bbox_embed",),       # retarget 'bert'
+                     lr_backbone_names=("nonexistent",))  # backbone -> base
+    labels = label_fn(mc, tc)(params)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in kp): v
+        for kp, v in jax.tree_util.tree_leaves_with_path(labels)
+    }
+    assert flat["bbox_embed/layers_0/kernel"] == "bert"
+    # backbone convs fall through to base when not name-matched...
+    assert flat["img_backbone/layer3_0/conv2/kernel"] == "base"
+    # ...but structural freezes still hold
+    assert flat["img_backbone/bn1/running_mean"] == "frozen"
+    assert flat["img_backbone/layer1_0/conv1/kernel"] == "frozen"
+    assert flat["img_backbone/layer3_0/bn2/weight"] == "frozen"
+    assert flat["lang_backbone/pooler/kernel"] == "base"

@@ -35,7 +35,7 @@ class VLTransformer(nn.Module):
     return_intermediate_dec: bool = True
     max_lang_seq: int = 128
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Any = None  # None = auto (see nn.attention)
     remat: bool = False
 
     @property

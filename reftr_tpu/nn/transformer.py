@@ -57,7 +57,7 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Any = None  # None = auto (see nn.attention)
 
     @nn.compact
     def __call__(
@@ -100,7 +100,7 @@ class TransformerEncoder(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Any = None  # None = auto (see nn.attention)
     remat: bool = False
 
     @nn.compact
@@ -134,7 +134,7 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Any = None  # None = auto (see nn.attention)
 
     @nn.compact
     def __call__(
@@ -198,7 +198,7 @@ class TransformerDecoder(nn.Module):
     normalize_before: bool = False
     return_intermediate: bool = True
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Any = None  # None = auto (see nn.attention)
 
     @nn.compact
     def __call__(

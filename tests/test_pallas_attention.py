@@ -75,6 +75,11 @@ def test_mha_module_pallas_path_matches(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="fp32 CPU-oracle tolerances; on the chip both "
+                           "paths sit at the MXU default-precision floor "
+                           "(~5e-3) — the hardware oracle is the TPU-gated "
+                           "dropout test below and PERFORMANCE.md")
 @pytest.mark.parametrize("sq,sk", [(16, 24), (33, 70), (130, 257)])
 def test_kernel_backward_matches_xla(rng, sq, sk):
     """Pallas flash backward (dq/dk/dv kernels) vs XLA autodiff gradients,

@@ -127,3 +127,32 @@ def test_learned_position_embedding():
     assert "row_embed" in params["params"]["pos_embedding"]
     out = model.apply(params, batch)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+@pytest.mark.slow
+def test_run_training_with_masks():
+    """run_training with --masks end to end: seg losses through the jitted
+    step, seg_miou in eval stats, checkpoint written (integration of
+    RefTRSeg with the driver loop; learning itself is covered by
+    tests/test_learning.py::test_segmentation_learns_seg_miou)."""
+    from reftr_tpu.train.loop import run_training
+
+    out = tempfile.mkdtemp()
+    cfg = RefTRConfig(
+        model=ModelConfig(enc_layers=1, dec_layers=1, dim_feedforward=128,
+                          hidden_dim=128, nheads=8, bert=BertConfig.tiny(),
+                          aux_loss=False, masks=True, dtype="float32"),
+        data=DataConfig(dataset="synthetic", train_split="train",
+                        test_splits=("val",), img_size=32, max_img_size=32,
+                        max_query_len=12, batch_size=8, num_workers=2),
+        mesh=MeshConfig(data=-1, model=1),
+        train=TrainConfig(lr=1e-3, epochs=1, warm_up_epoch=1,
+                          lr_schedule="CosineWarmupLR", output_dir=out,
+                          seed=0, donate_state=False),
+    )
+    res = run_training(cfg)
+    h = res["history"][0]
+    assert "train_loss_dice" in h and "train_loss_mask" in h
+    assert "test_val_seg_miou" in h
+    assert np.isfinite(h["train_loss"])
+    assert os.path.isdir(os.path.join(out, "checkpoint"))

@@ -44,7 +44,10 @@ def download_checkpoint(url: str, progress_fn=print) -> str:
     fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".part")
     os.close(fd)
     try:
-        with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+        # per-read socket timeout (not a whole-download cap): a dead server
+        # fails in a minute instead of hanging the resume forever
+        with urllib.request.urlopen(url, timeout=60) as r, \
+                open(tmp, "wb") as f:
             shutil.copyfileobj(r, f)
         os.replace(tmp, dest)
     finally:

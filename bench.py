@@ -33,12 +33,18 @@ STEPS = 20
 WARMUP = 3
 
 
-def make_batch(rng, b, hw, s, vocab):
+def make_batch(rng, b, hw, s, vocab, uint8=False):
     sv = np.zeros((b, s), np.int32)
     for i in range(b):
         sv[i, : 5 + (i % 30)] = 1
+    if uint8:
+        # the production input path: uint8 canvases from the loader,
+        # /255 + ImageNet normalize fused on device (ops/image.py)
+        image = rng.integers(0, 255, size=(b, hw, hw, 3)).astype(np.uint8)
+    else:
+        image = rng.normal(size=(b, hw, hw, 3)).astype(np.float32)
     return {
-        "image": rng.normal(size=(b, hw, hw, 3)).astype(np.float32),
+        "image": image,
         "image_valid": np.ones((b, hw, hw), bool),
         "sentence": rng.integers(1, vocab, size=(b, s)).astype(np.int32),
         "sentence_valid": sv,
@@ -55,8 +61,12 @@ def measure_eval(model, params, batch, batch_size, steps=STEPS):
 
     @jax.jit
     def fwd(params, batch, step):
-        batch = dict(batch,
-                     image=batch["image"] + step.astype(jnp.float32) * 1e-6)
+        if batch["image"].dtype == jnp.uint8:
+            img = ((batch["image"].astype(jnp.int32) + step) % 256
+                   ).astype(jnp.uint8)
+        else:
+            img = batch["image"] + step.astype(jnp.float32) * 1e-6
+        batch = dict(batch, image=img)
         return model.apply(params, batch)["pred_boxes"]
 
     np.asarray(fwd(params, batch, jnp.asarray(0)))
@@ -81,7 +91,8 @@ def bench_rec(batch_size=64):
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = make_batch(rng, batch_size, cfg.data.img_size,
-                       cfg.data.max_query_len, cfg.model.bert.vocab_size)
+                       cfg.data.max_query_len, cfg.model.bert.vocab_size,
+                       uint8=True)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     batch = jax.device_put(batch)
     ips = measure_eval(model, params, batch, batch_size)

@@ -67,13 +67,37 @@ PRESETS: Dict[str, Dict] = {
         test_split=["val"], dec_layers=6, aux_loss=True, img_size=640,
         max_img_size=640, epochs=6, lr_drop=4,
     ),
-    # ResNet-101 variants (configs/*_101.sh)
-    "refcoco_det_101": dict(
-        backbone="resnet101", num_feature_levels=1, dataset="refcoco_unc",
-        train_split="train", test_split=["val", "testA", "testB"],
-        dec_layers=6, aux_loss=True, img_size=640, max_img_size=640,
-        epochs=90, lr_drop=60,
+    # configs/refcoco+/RefTR_refcoco+.sh (REC detection)
+    "refcoco_plus_det": dict(
+        num_feature_levels=1, num_queries_per_phrase=1,
+        dataset="refcoco+_unc", train_split="train",
+        test_split=["val", "testA", "testB"], dec_layers=6, aux_loss=True,
+        img_size=640, max_img_size=640, epochs=90, lr_drop=60,
     ),
+    # configs/referit/RefTR_referit_PT.sh — fine-tune from a VG-pretrained
+    # checkpoint; pass --resume <RefTR_VG_PT ckpt> (path is site-specific)
+    "referit_pt": dict(
+        num_feature_levels=1, num_queries_per_phrase=1, dataset="referit",
+        train_split="trainval", test_split=["test"], dec_layers=6,
+        aux_loss=True, img_size=640, max_img_size=640, epochs=90,
+        lr_drop=60, ckpt_cycle=90, resume_model_only=True,
+    ),
+    # configs/flickr30k/Ref_flickr_pt.sh — flickr fine-tune from VG
+    # pretraining; pass --resume <RefTR_VG_PT ckpt>
+    "flickr_pt": dict(
+        num_feature_levels=1, num_queries_per_phrase=1, dataset="flickr30k",
+        dec_layers=6, aux_loss=True, img_size=640, max_img_size=640,
+        epochs=40, lr_drop=30, resume_model_only=True,
+    ),
+}
+
+# ResNet-101 variants (configs/**/*_101.sh differ only in --backbone)
+for _name in ("refcoco_det", "refcoco_seg", "refcoco_plus_det",
+              "refcoco_plus_seg", "refcocog_det", "refcocog_seg",
+              "referit", "referit_pt", "flickr_pt"):
+    PRESETS[f"{_name}_101"] = dict(PRESETS[_name], backbone="resnet101")
+
+PRESETS.update({
     # smoke preset on the synthetic fixture (no data needed)
     "synthetic_smoke": dict(
         dataset="synthetic", train_split="train", test_split=["val"],
@@ -83,7 +107,7 @@ PRESETS: Dict[str, Dict] = {
         warm_up_epoch=1, aux_loss=True, dtype="float32", num_workers=4,
         bert_size="tiny", num_feature_levels=1,
     ),
-}
+})
 
 
 def apply_preset(args, name: str, argv=None) -> None:

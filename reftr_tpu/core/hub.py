@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 import urllib.parse
@@ -30,13 +31,46 @@ def is_url(path: str) -> bool:
     return path.startswith(("http://", "https://"))
 
 
+# torch.hub convention: filenames may embed a hash prefix as
+# ``name-<8+ hex chars>.ext``; load_state_dict_from_url(check_hash=True)
+# verifies the sha256 digest starts with it
+_HASH_RE = re.compile(r"-([a-f0-9]{8,64})\.")
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _verify_or_log(path: str, name: str, progress_fn) -> bool:
+    """Integrity-check a downloaded file. If the filename embeds a hash
+    fragment (torch.hub convention), require the digest to match; otherwise
+    just log the digest so corruption is diagnosable. Returns ok."""
+    digest = _sha256(path)
+    m = _HASH_RE.search(name)
+    if m and not digest.startswith(m.group(1)):
+        progress_fn(f"hash mismatch for {name}: file sha256 {digest} does "
+                    f"not start with {m.group(1)}")
+        return False
+    progress_fn(f"checkpoint {name} sha256: {digest}")
+    return True
+
+
 def download_checkpoint(url: str, progress_fn=print) -> str:
     """Fetch ``url`` into the cache (once) and return the local path."""
     name = os.path.basename(urllib.parse.urlparse(url).path) or "checkpoint"
     key = hashlib.sha256(url.encode()).hexdigest()[:16]
     dest = os.path.join(cache_dir(), f"{key}-{name}")
     if os.path.isfile(dest):
-        return dest
+        # re-verify hash-named cache entries; drop and re-download corrupt
+        # ones instead of trusting the cache forever
+        if _HASH_RE.search(name) is None or \
+                _verify_or_log(dest, name, progress_fn):
+            return dest
+        os.unlink(dest)
     os.makedirs(cache_dir(), exist_ok=True)
     progress_fn(f"Downloading checkpoint {url} -> {dest}")
     # download to a temp file then atomic-rename, so a killed run never
@@ -49,6 +83,9 @@ def download_checkpoint(url: str, progress_fn=print) -> str:
         with urllib.request.urlopen(url, timeout=60) as r, \
                 open(tmp, "wb") as f:
             shutil.copyfileobj(r, f)
+        if not _verify_or_log(tmp, name, progress_fn):
+            raise IOError(f"downloaded checkpoint {url} failed its "
+                          "embedded-hash integrity check")
         os.replace(tmp, dest)
     finally:
         if os.path.exists(tmp):

@@ -252,8 +252,17 @@ class FlickrMultiPhraseDataset:
             ids, mask, _ = tok.encode(str(phrases[j]).lower(), SP)
             ph_ids[j] = ids
             ph_mask[j] = mask
-            # token span from char positions (refer_dataset.py:160-171)
-            c_l, c_r = int(phrase_pos[j][0]), int(phrase_pos[j][1])
+            # token span from char positions (refer_dataset.py:160-171).
+            # The reference .pth format stores only the char START per
+            # phrase (refer_dataset.py:93,160-162: the end is derived from
+            # len(phrase)); converted .json annotations may carry (l, r)
+            # pairs — accept both.
+            pp = phrase_pos[j]
+            if np.ndim(pp) == 0:
+                c_l = int(pp)
+                c_r = c_l + len(str(phrases[j]))
+            else:
+                c_l, c_r = int(pp[0]), int(pp[1])
             t_l = tok.char_to_token(sent_offsets, sent_mask, c_l)
             t_r = tok.char_to_token(sent_offsets, sent_mask, max(c_r - 1, c_l))
             if t_l is None:
@@ -262,12 +271,14 @@ class FlickrMultiPhraseDataset:
                 t_r = int(sent_mask.sum()) - 1
             pos_l[j] = t_l
             pos_r[j] = t_r + 1
-        # pad slots get empty-phrase tokenization ([CLS][SEP]) like
-        # refer_dataset.py:173-183
+        # pad slots get empty-phrase tokenization ([CLS][SEP]) and the
+        # (0, 1) span like refer_dataset.py:173-183
         for j in range(n, P):
             ids, mask, _ = tok.encode("", SP)
             ph_ids[j] = ids
             ph_mask[j] = mask
+            pos_l[j] = 0
+            pos_r[j] = 1
 
         boxes_pad = np.zeros((P, 4), np.float32)
         boxes_pad[:n] = ts.boxes_cxcywh[:n]

@@ -78,7 +78,10 @@ class DataLoader:
             span_it = iter(spans)
 
             def fill():
-                while len(pending) <= lookahead:
+                # strictly < so at most `prefetch_depth` batches of item
+                # futures are in flight beyond the one being consumed —
+                # host-memory footprint matches the configured depth
+                while len(pending) < lookahead:
                     span = next(span_it, None)
                     if span is None:
                         return

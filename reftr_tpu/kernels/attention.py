@@ -488,6 +488,18 @@ def fused_attention(
     return out.transpose(0, 2, 1, 3).astype(in_dtype)
 
 
+def mesh_compatible(mesh, batch: int, heads: int,
+                    data_axis: str = "data",
+                    model_axis: str = "model") -> bool:
+    """True iff fused_attention_sharded can run on this mesh: the axes
+    exist, batch divides over 'data' and heads over 'model'."""
+    names = set(mesh.axis_names)
+    if not {data_axis, model_axis} <= names:
+        return False
+    return (batch % mesh.shape[data_axis] == 0
+            and heads % mesh.shape[model_axis] == 0)
+
+
 def fused_attention_sharded(
     q: jnp.ndarray,  # [B, Sq, H, D]
     k: jnp.ndarray,
@@ -496,6 +508,7 @@ def fused_attention_sharded(
     mesh,
     data_axis: str = "data",
     model_axis: str = "model",
+    dropout_rng: Optional[jnp.ndarray] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """fused_attention under a (data, model) mesh via shard_map.
@@ -507,16 +520,41 @@ def fused_attention_sharded(
     layout after the column-sharded qkv projections,
     parallel/sharding.py:37-46) runs the kernel purely locally — zero
     collectives. Head count must divide the model-axis size.
+
+    With dropout (dropout_rate > 0 in kwargs + dropout_rng), the key is
+    folded with the shard's (data, model) coordinates inside shard_map so
+    every shard draws an independent attention-dropout mask.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    h = q.shape[2]
+    b, _, h, _ = q.shape
     if h % mesh.shape[model_axis]:
         raise ValueError(f"{h} heads not divisible by "
                          f"{model_axis}={mesh.shape[model_axis]}")
+    if b % mesh.shape[data_axis]:
+        raise ValueError(f"batch {b} not divisible by "
+                         f"{data_axis}={mesh.shape[data_axis]}")
     qkv_spec = P(data_axis, None, model_axis, None)
     mask_spec = P(data_axis, None)
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, k.shape[1]), bool)
+    n_model = mesh.shape[model_axis]
+
+    if dropout_rng is not None:
+
+        def local(q, k, v, m, rng):
+            shard = (jax.lax.axis_index(data_axis) * n_model
+                     + jax.lax.axis_index(model_axis))
+            rng = jax.random.fold_in(rng, shard)
+            return fused_attention(q, k, v, m, dropout_rng=rng, **kwargs)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec, P()),
+            out_specs=qkv_spec,
+            check_vma=False,  # pallas_call has no varying-manual-axes rule
+        )(q, k, v, valid_mask, dropout_rng)
 
     def local(q, k, v, m):
         return fused_attention(q, k, v, m, **kwargs)

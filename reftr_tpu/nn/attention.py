@@ -72,13 +72,22 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(b, sk, h, dh)
 
         use_pallas = self.use_pallas
+        # pallas_call is opaque to the SPMD partitioner, so under a
+        # multi-device pjit it would be wrapped in all-gathers. When the
+        # step builder installs the Mesh (parallel.context.use_mesh), the
+        # kernel instead runs under shard_map — batch over 'data', heads
+        # over 'model' (the Megatron activation layout), zero collectives.
+        mesh = None
+        if use_pallas is not False and jax.device_count() > 1:
+            from reftr_tpu.kernels.attention import mesh_compatible
+            from reftr_tpu.parallel.context import current_mesh
+
+            mesh = current_mesh()
+            if mesh is not None and not mesh_compatible(mesh, b, h):
+                mesh = None
         if use_pallas is None:
-            # auto: only where measured faster and safe. pallas_call is
-            # opaque to the SPMD partitioner, so under a multi-device pjit
-            # it would be wrapped in all-gathers; the shard_map integration
-            # exists (kernels.attention.fused_attention_sharded,
-            # head-sharded over 'model', tested on a 4x2 mesh) but needs
-            # the mesh plumbed to the module, so auto stays single-device.
+            # auto: only where measured faster and safe; multi-device needs
+            # the mesh (else the kernel would be all-gather-wrapped).
             # Where it wins (v5e, PERFORMANCE.md):
             #   * inference: Sk >= 1024 only (at S=440 XLA's materialized
             #     attention is fine and head_dim 32 wastes MXU lanes),
@@ -89,22 +98,27 @@ class MultiHeadAttention(nn.Module):
             #     flagship train step 180 -> 169 ms. Decoder queries are
             #     tiny (Sq = n_q), so gate on Sq too.
             use_pallas = (jax.default_backend() == "tpu"
-                          and jax.device_count() == 1
+                          and (jax.device_count() == 1 or mesh is not None)
                           and (k.shape[1] >= 1024
                                or (not deterministic and sq >= 256
                                    and k.shape[1] >= 256)))
         if use_pallas:
-            from reftr_tpu.kernels.attention import fused_attention
+            from reftr_tpu.kernels.attention import (
+                fused_attention,
+                fused_attention_sharded,
+            )
 
+            kw = {}
             if self.dropout > 0 and not deterministic:
                 # attention-weight dropout runs inside the kernel; the mask
                 # is regenerated bit-identically in the backward kernels
-                out = fused_attention(
-                    q, k, v, key_padding_mask,
-                    dropout_rate=self.dropout,
-                    dropout_rng=self.make_rng("dropout"))
+                kw = dict(dropout_rate=self.dropout,
+                          dropout_rng=self.make_rng("dropout"))
+            if mesh is not None and jax.device_count() > 1:
+                out = fused_attention_sharded(q, k, v, key_padding_mask,
+                                              mesh, **kw)
             else:
-                out = fused_attention(q, k, v, key_padding_mask)
+                out = fused_attention(q, k, v, key_padding_mask, **kw)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
             logits = jnp.einsum(

@@ -20,3 +20,14 @@ def normalize_images(images: jnp.ndarray,
     std = jnp.asarray(IMAGENET_STD, dtype)
     x = images.astype(dtype) / 255.0
     return (x - mean) / std
+
+
+def unnormalize_images(images) -> "np.ndarray":
+    """Exact inverse of normalize_images, for qualitative dumps:
+    normalized float NHWC/HWC -> uint8 in [0,255] (host-side numpy)."""
+    import numpy as np
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    x = (np.asarray(images, np.float32) * std + mean) * 255.0
+    return np.clip(np.rint(x), 0, 255).astype(np.uint8)

@@ -99,6 +99,11 @@ def launch(args: argparse.Namespace) -> int:
                 p.wait(timeout=max(0.1, deadline - time.time()))
             except subprocess.TimeoutExpired:
                 p.send_signal(signal.SIGKILL)
+                p.wait(timeout=5)  # reap: no zombie when used as a library
+    # a signal-terminated child reports a negative returncode; map it to
+    # the shell convention (128+signum) so sys.exit doesn't take it mod 256
+    if rc < 0:
+        rc = 128 - rc
     return rc
 
 

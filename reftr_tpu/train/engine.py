@@ -104,8 +104,12 @@ def _dump_visuals(out_dir, idx_base, samples, targets, out):
     from reftr_tpu.tools.visualize import dump_eval_visuals
 
     images = np.asarray(samples["image"])
-    if images.dtype != np.uint8:  # normalized floats -> rough un-normalize
-        images = np.clip(images * 58.0 + 116.0, 0, 255).astype(np.uint8)
+    if images.dtype != np.uint8:
+        # invert the exact per-channel ImageNet normalization the pipeline
+        # applied (ops/image.py)
+        from reftr_tpu.ops.image import unnormalize_images
+
+        images = unnormalize_images(images)
     sizes = np.asarray(targets["size"]).astype(np.float32)  # resized (h, w)
     pred = np.asarray(decode_boxes(out["pred_boxes"]))  # [B, P, 4] normalized
     gt = np.asarray(box_cxcywh_to_xyxy(np.asarray(targets["boxes"])))

@@ -172,7 +172,13 @@ def run_training(cfg: RefTRConfig) -> Dict:
 
     schedule = build_schedule(cfg.train, steps_per_epoch)
     tx = build_optimizer(cfg.model, cfg.train, schedule)
-    state = TrainState.create(params, tx, jax.random.PRNGKey(seed))
+    # NB: the state rng must be IDENTICAL on every process — it is a
+    # replicated operand of the global SPMD train step (per-sample dropout
+    # variation comes from the key + each sample's position in the global
+    # batch). The reference's per-rank seed+rank (main_vg.py:174-177) maps
+    # onto the HOST-side np seed above (per-process data augmentation),
+    # not onto the in-step key.
+    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.train.seed))
 
     # ---- resume ----
     out_dir = cfg.train.output_dir
@@ -212,9 +218,10 @@ def run_training(cfg: RefTRConfig) -> Dict:
     train_step = make_train_step(model, wdict, cfg.loss, world_size=world,
                                  with_masks=cfg.model.masks,
                                  donate=cfg.train.donate_state,
-                                 lr_fn=lambda s: cfg.train.lr * schedule(s))
+                                 lr_fn=lambda s: cfg.train.lr * schedule(s),
+                                 mesh=mesh)
     eval_step = make_eval_step(model, wdict, cfg.loss, world_size=world,
-                               with_masks=cfg.model.masks)
+                               with_masks=cfg.model.masks, mesh=mesh)
 
     def run_eval(params) -> Dict[str, Dict]:
         all_stats = {}

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from reftr_tpu.core.config import LossConfig
 from reftr_tpu.models.criterion import criterion, total_loss
 from reftr_tpu.models.postprocess import rec_metrics
+from reftr_tpu.parallel.context import use_mesh
 from reftr_tpu.parallel.sharding import batch_sharding, param_shardings
 from reftr_tpu.train.state import TrainState
 
@@ -35,18 +36,25 @@ def make_train_step(
     with_masks: bool = False,
     donate: bool = True,
     lr_fn: Callable | None = None,
+    mesh: Mesh | None = None,
 ) -> Callable[[TrainState, Dict, Dict], Tuple[TrainState, Dict]]:
     """Builds the fused train step. Call under a Mesh context (or single
     device); shard the inputs with `shard_batch` first on multi-device.
-    lr_fn(step) -> learning rate, reported in the metrics dict."""
+    lr_fn(step) -> learning rate, reported in the metrics dict.
+
+    Passing `mesh` lets MultiHeadAttention keep the Pallas kernel on
+    multi-device runs by wrapping it in shard_map (parallel.context);
+    without it the modules fall back to XLA attention when device_count>1.
+    """
 
     def step_fn(state: TrainState, batch: Dict, targets: Dict):
         step_rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
-            out = model.apply({"params": params}, batch,
-                              deterministic=False,
-                              rngs={"dropout": step_rng})
+            with use_mesh(mesh):
+                out = model.apply({"params": params}, batch,
+                                  deterministic=False,
+                                  rngs={"dropout": step_rng})
             losses = criterion(out, targets, loss_cfg, world_size,
                                with_masks=with_masks)
             return total_loss(losses, weight_dict), losses
@@ -71,6 +79,7 @@ def make_eval_step(
     loss_cfg: LossConfig,
     world_size: int = 1,
     with_masks: bool = False,
+    mesh: Mesh | None = None,
 ):
     """Forward + losses (for logging) + raw metric sums, one jitted program.
 
@@ -79,7 +88,8 @@ def make_eval_step(
     """
 
     def step_fn(params, batch: Dict, targets: Dict):
-        out = model.apply({"params": params}, batch, deterministic=True)
+        with use_mesh(mesh):
+            out = model.apply({"params": params}, batch, deterministic=True)
         losses = criterion(out, targets, loss_cfg, world_size,
                            with_masks=with_masks)
         sums = rec_metrics(out["pred_boxes"], targets["boxes"],

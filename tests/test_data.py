@@ -312,6 +312,7 @@ def test_loader_pipelines_across_batches():
 
     starts = {}
     lock = threading.Lock()
+    item0_done = threading.Event()
 
     class SlowFirst:
         def __len__(self):
@@ -319,17 +320,19 @@ def test_loader_pipelines_across_batches():
 
         def __getitem__(self, i):
             with lock:
-                starts[i] = time.monotonic()
+                # ordering by events, not wall-clock thresholds (the loaded
+                # 1-core sandbox schedules worker threads late)
+                starts[i] = item0_done.is_set()
             if i == 0:
                 time.sleep(1.0)
+                item0_done.set()
             return ({"x": np.zeros(1, np.float32)},
                     {"y": np.zeros(1, np.float32)})
 
     loader = DataLoader(SlowFirst(), batch_size=2, num_workers=4,
                         drop_last=True)
-    t0 = time.monotonic()
     batches = list(iter(loader))
     assert len(batches) == 4
     # batch 1 items (2,3) started while item 0 was still sleeping
-    assert starts[2] - t0 < 0.6, "batch 2 fetch waited on batch 0 straggler"
-    assert starts[3] - t0 < 0.6
+    assert starts[2] is False, "batch 2 fetch waited on batch 0 straggler"
+    assert starts[3] is False

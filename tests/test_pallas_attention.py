@@ -224,3 +224,61 @@ def test_fused_attention_sharded_rejects_bad_head_split(rng):
     q, k, v, valid = make_qkv(rng, b=8, h=3)
     with pytest.raises(ValueError, match="heads not divisible"):
         fused_attention_sharded(q, k, v, valid, mesh, interpret=True)
+
+
+def test_mesh_compatible():
+    from jax.sharding import Mesh
+
+    from reftr_tpu.kernels.attention import mesh_compatible
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    assert mesh_compatible(mesh, batch=8, heads=4)
+    assert not mesh_compatible(mesh, batch=6, heads=4)  # 6 % 4 != 0
+    assert not mesh_compatible(mesh, batch=8, heads=3)  # 3 % 2 != 0
+    other = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+    assert not mesh_compatible(other, batch=8, heads=4)  # wrong axis names
+
+
+def test_mha_module_sharded_kernel_under_mesh(rng, monkeypatch):
+    """With the mesh installed (parallel.context.use_mesh) and
+    device_count > 1, MultiHeadAttention routes the forced Pallas path
+    through fused_attention_sharded and matches the XLA path."""
+    from jax.sharding import Mesh
+
+    import reftr_tpu.kernels.attention as ka
+    from reftr_tpu.parallel.context import use_mesh
+
+    assert jax.device_count() == 8
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    d, h, b, s = 64, 4, 8, 30
+    x = rng.normal(size=(b, s, d)).astype(np.float32)
+    valid = np.ones((b, s), bool)
+    valid[1, 20:] = False
+    ref_mod = MultiHeadAttention(d, h, 0.0, use_pallas=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x, x, x, valid)
+    want = np.asarray(ref_mod.apply(params, x, x, x, valid))
+
+    calls = []
+    orig = ka.fused_attention_sharded
+
+    def spy(*a, **kw):
+        calls.append(a[4])  # the mesh argument
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ka, "fused_attention_sharded", spy)
+    pal_mod = MultiHeadAttention(d, h, 0.0, use_pallas=True)
+    with use_mesh(mesh):
+        got = np.asarray(pal_mod.apply(params, x, x, x, valid))
+    assert calls == [mesh], "sharded kernel path was not taken"
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # incompatible batch (not divisible by data=4): falls back to the
+    # single-device kernel wrapper rather than erroring
+    calls.clear()
+    x6 = x[:6]
+    v6 = valid[:6]
+    with use_mesh(mesh):
+        got6 = np.asarray(pal_mod.apply(params, x6, x6, x6, v6))
+    assert calls == []
+    want6 = np.asarray(ref_mod.apply(params, x6, x6, x6, v6))
+    np.testing.assert_allclose(got6, want6, rtol=1e-5, atol=1e-5)

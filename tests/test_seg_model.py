@@ -95,6 +95,43 @@ def test_seg_losses_and_grad(seg_setup):
     assert np.isfinite(gn) and gn > 0
 
 
+def test_cem_golden_parity(rng):
+    """CEM energy block vs the reference implementation
+    (reftr_segmentation.py:16-41) on converted weights + identical inputs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_cem_src", "/root/reference/models/reftr_segmentation.py")
+    if spec is None:
+        pytest.skip("reference repo not available")
+    # the module imports the full reference package; only the CEM class is
+    # needed, so exec just its source segment via a tiny namespace
+    src = open("/root/reference/models/reftr_segmentation.py").read()
+    start = src.index("class CEM")
+    end = src.index("class RefTRSeg")
+    ns = {"torch": torch, "nn": torch.nn}
+    exec(src[start:end], ns)  # noqa: S102 — trusted-read-only test oracle
+    torch.manual_seed(11)
+    d, b, nq, h, w = 64, 2, 3, 5, 7
+    ref = ns["CEM"](d).eval()
+
+    rec = rng.normal(size=(b, 1, nq, d)).astype(np.float32)
+    res_nchw = rng.normal(size=(b, d // 16, h, w)).astype(np.float32)
+    with torch.no_grad():
+        want = float(ref(torch.from_numpy(rec), torch.from_numpy(res_nchw)))
+
+    from reftr_tpu.nn.convert import linear
+    from reftr_tpu.nn.seg_heads import CEM
+
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params = {"params": {f"c{i}": linear(sd, f"c{i}") for i in (1, 2, 3)}}
+    # torch views res as [B, c//16, hw] then transposes -> [B, hw, c//16];
+    # ours takes NHWC [B, h, w, c//16], flattened row-major to the same
+    res_nhwc = res_nchw.transpose(0, 2, 3, 1)
+    got = float(CEM(d).apply(params, rec, res_nhwc))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
 def test_cem_ablation(seg_setup):
     _, _, batch, _ = seg_setup
     mc = tiny_model_config(masks=True, nheads=8, hidden_dim=128, ablation="cem_loss")

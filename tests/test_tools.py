@@ -160,7 +160,21 @@ def test_url_pretrained_end_to_end(tmp_path, monkeypatch):
     ref_model = build_reference_model((ref_rt, ref_vl, ref_bb))
     ckpt = tmp_path / "srv" / "reftr_toy.pth"
     ckpt.parent.mkdir()
-    torch.save({"model": ref_model.state_dict()}, str(ckpt))
+    # the FULL reference checkpoint dict (main_vg.py:377-385) — the
+    # converter must ignore every non-model key
+    sd = ref_model.state_dict()
+    fake_opt = {"state": {0: {"step": 3,
+                              "exp_avg": torch.zeros(4),
+                              "exp_avg_sq": torch.zeros(4)}},
+                "param_groups": [{"lr": 1e-4, "params": [0]}]}
+    torch.save({
+        "model": sd,
+        "optimizer": fake_opt,
+        "lr_scheduler": {"last_epoch": 120, "_step_count": 121},
+        "epoch": 3,
+        "args": {"lr": 1e-4, "backbone": "resnet50"},
+        "best_val_acc": 0.71,
+    }, str(ckpt))
 
     monkeypatch.setenv("REFTR_CACHE_DIR", str(tmp_path / "cache"))
     handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
@@ -202,6 +216,31 @@ def test_url_pretrained_end_to_end(tmp_path, monkeypatch):
         bb = np.asarray(loaded["img_backbone"]["conv1"]["kernel"])
         np.testing.assert_allclose(
             bb, want["img_backbone"]["conv1"]["kernel"], rtol=1e-6)
+
+        # missing/unexpected keys are reported exactly (main_vg.py:312-318):
+        # a param tree with an extra head (missing from the checkpoint) and
+        # without bbox_embed (whose converted keys become unexpected)
+        import reftr_tpu.train.loop as loop_mod
+
+        logs = []
+        monkeypatch.setattr(loop_mod, "master_print",
+                            lambda *a: logs.append(" ".join(map(str, a))))
+        mutated = dict(params)
+        mutated["extra_head"] = {"kernel": np.zeros((4, 4), np.float32)}
+        popped = mutated.pop("bbox_embed")
+        loaded2 = loop_mod._load_pretrained(mutated, url, cfg)
+        missing_msgs = [m for m in logs if m.startswith("Missing keys:")]
+        unexpected_msgs = [m for m in logs if m.startswith("Unexpected keys:")]
+        assert len(missing_msgs) == 1 and len(unexpected_msgs) == 1
+        # exactly the one extra leaf is missing (single-element list: no
+        # comma separators in the printed repr)
+        assert "extra_head" in missing_msgs[0]
+        assert ", " not in missing_msgs[0]
+        n_bbox_leaves = len(jax.tree_util.tree_leaves(popped))
+        assert unexpected_msgs[0].count("bbox_embed") == n_bbox_leaves
+        # the extra head passes through untouched; real keys still merged
+        np.testing.assert_array_equal(
+            np.asarray(loaded2["extra_head"]["kernel"]), 0.0)
     finally:
         httpd.shutdown()
         httpd.server_close()

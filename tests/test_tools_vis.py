@@ -44,6 +44,18 @@ def test_vis_log_conversion(tmp_path):
                                                 (1, pytest.approx(2.1))]
 
 
+def test_unnormalize_round_trip(rng):
+    """normalize -> unnormalize recovers the uint8 pixels exactly (the
+    qualitative eval dumps use this inverse; the old rough *58+116
+    constants produced a color cast)."""
+    from reftr_tpu.ops.image import normalize_images, unnormalize_images
+
+    img = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    norm = np.asarray(normalize_images(img))
+    back = unnormalize_images(norm)
+    np.testing.assert_array_equal(back, img)
+
+
 def test_draw_boxes_and_heatmap(rng):
     img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
     im = draw_boxes(img, np.array([[5, 5, 20, 20], [30, 10, 55, 35]]))

@@ -125,6 +125,54 @@ def box_area(boxes):
     return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
 
+def _to_tensor(pic):
+    """torchvision F.to_tensor for PIL images / HWC uint8 arrays."""
+    import numpy as np
+
+    arr = np.asarray(pic)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    t = torch.from_numpy(arr.transpose(2, 0, 1).copy())
+    return t.float().div(255) if t.dtype == torch.uint8 else t
+
+
+def _normalize(tensor, mean, std, inplace=False):
+    mean = torch.as_tensor(mean, dtype=tensor.dtype)[:, None, None]
+    std = torch.as_tensor(std, dtype=tensor.dtype)[:, None, None]
+    return (tensor - mean) / std
+
+
+def _pil_resize(img, size, *a, **kw):
+    """torchvision F.resize PIL backend: size (h, w) -> PIL bilinear
+    (PIL's BILINEAR is inherently antialiased on downscale)."""
+    import PIL.Image
+
+    if isinstance(size, (list, tuple)):
+        oh, ow = size
+    else:  # scalar: short side
+        w, h = img.size
+        if w < h:
+            ow, oh = size, int(size * h / w)
+        else:
+            oh, ow = size, int(size * w / h)
+    return img.resize((ow, oh), PIL.Image.BILINEAR)
+
+
+def _pil_hflip(img):
+    import PIL.Image
+
+    return img.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+
+
+def _pil_crop(img, top, left, height, width):
+    return img.crop((left, top, left + width, top + height))
+
+
+class _RandomErasing:  # referenced (never constructed) by the reference
+    def __init__(self, *a, **kw):
+        raise NotImplementedError
+
+
 def install():
     """Register the stub as 'torchvision' in sys.modules."""
     tv = types.ModuleType("torchvision")
@@ -142,8 +190,18 @@ def install():
     misc_mod.interpolate = F.interpolate
     ops_mod.boxes = boxes_mod
     ops_mod.misc = misc_mod
+    transforms_mod = types.ModuleType("torchvision.transforms")
+    transforms_mod.RandomErasing = _RandomErasing
+    tf_func_mod = types.ModuleType("torchvision.transforms.functional")
+    tf_func_mod.to_tensor = _to_tensor
+    tf_func_mod.normalize = _normalize
+    tf_func_mod.resize = _pil_resize
+    tf_func_mod.hflip = _pil_hflip
+    tf_func_mod.crop = _pil_crop
+    transforms_mod.functional = tf_func_mod
     tv.models = models_mod
     tv.ops = ops_mod
+    tv.transforms = transforms_mod
     import importlib.machinery
 
     for name, mod in [
@@ -153,6 +211,8 @@ def install():
         ("torchvision.ops", ops_mod),
         ("torchvision.ops.boxes", boxes_mod),
         ("torchvision.ops.misc", misc_mod),
+        ("torchvision.transforms", transforms_mod),
+        ("torchvision.transforms.functional", tf_func_mod),
     ]:
         # importlib.util.find_spec (used by e.g. transformers) requires a
         # non-None __spec__ on registered modules

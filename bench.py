@@ -81,13 +81,15 @@ def measure_eval(model, params, batch, batch_size, steps=STEPS):
     return batch_size * steps / dt
 
 
-def bench_rec(batch_size=64):
+def bench_rec(batch_size=64, fold_normalize=False):
     import jax
 
     from reftr_tpu.core.config import ModelConfig, RefTRConfig
     from reftr_tpu.models import build_model
 
-    cfg = RefTRConfig(model=ModelConfig(dtype="bfloat16", aux_loss=False))
+    mc = ModelConfig(dtype="bfloat16", aux_loss=False,
+                     fold_bn=fold_normalize, fold_normalize=fold_normalize)
+    cfg = RefTRConfig(model=mc)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = make_batch(rng, batch_size, cfg.data.img_size,
@@ -97,7 +99,8 @@ def bench_rec(batch_size=64):
     batch = jax.device_put(batch)
     ips = measure_eval(model, params, batch, batch_size)
     return {
-        "metric": "inference_images_per_sec_per_chip",
+        "metric": ("inference_fn" if fold_normalize else "inference")
+                  + "_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
@@ -127,7 +130,8 @@ def bench_seg(batch_size=32):
     }
 
 
-def bench_train(batch_size=32, optimized=False):
+def bench_train(batch_size=32, optimized=False, uint8=False,
+                fold_normalize=False, pad_width=0):
     import jax
     import jax.numpy as jnp
 
@@ -140,13 +144,15 @@ def bench_train(batch_size=32, optimized=False):
     from reftr_tpu.train.steps import make_train_step
 
     mc = ModelConfig(dtype="bfloat16", aux_loss=True,
-                     space_to_depth_stem=optimized, fold_bn=optimized)
+                     space_to_depth_stem=optimized, fold_bn=optimized,
+                     fold_normalize=fold_normalize,
+                     backbone_pad_width=pad_width)
     cfg = RefTRConfig(model=mc)
     model, wd = build_model(cfg)
     rng = np.random.default_rng(0)
     b = batch_size
     batch = make_batch(rng, b, cfg.data.img_size, cfg.data.max_query_len,
-                       mc.bert.vocab_size)
+                       mc.bert.vocab_size, uint8=uint8 or fold_normalize)
     targets = {
         "boxes": rng.uniform(0.3, 0.6, size=(b, 1, 4)).astype(np.float32),
         "box_valid": np.ones((b, 1), bool),
@@ -160,6 +166,9 @@ def bench_train(batch_size=32, optimized=False):
     targets = jax.device_put(targets)
 
     def perturbed(i):
+        if batch["image"].dtype == np.uint8:
+            img = batch["image"].at[:, 0, 0, 0].set(i % 256)
+            return dict(batch, image=img)  # defeat the tunnel memoization
         return dict(batch, image=batch["image"] + np.float32(i) * 1e-6)
 
     state, m = step(state, perturbed(0), targets)
@@ -173,9 +182,17 @@ def bench_train(batch_size=32, optimized=False):
     float(m["loss"])  # device->host fetch bounds the timing
     dt = time.perf_counter() - t0
     ips = b * steps / dt
+    name = "train"
+    if optimized:
+        name = "train_opt"
+    if fold_normalize:
+        name = "train_fn"
+    elif uint8:
+        name = "train_u8"
+    if pad_width:
+        name += f"_pad{pad_width}"
     return {
-        "metric": ("train_opt" if optimized else "train")
-                  + "_images_per_sec_per_chip",
+        "metric": name + "_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(
@@ -196,6 +213,19 @@ def main():
         out = bench_train()
     elif mode == "train_opt":
         out = bench_train(optimized=True)
+    elif mode == "train_u8":
+        # production input path: uint8 canvases, /255+normalize on device
+        out = bench_train(optimized=True, uint8=True)
+    elif mode == "train_fn":
+        # normalize folded into the stem weights (--fold_normalize)
+        out = bench_train(optimized=True, fold_normalize=True)
+    elif mode == "train_pad":
+        # layer1 inner widths zero-padded 64 -> 128 (MXU lane fill)
+        out = bench_train(optimized=True, pad_width=128)
+    elif mode == "rec_fn":
+        # serving path with normalize folded into the stem (no s2d: the
+        # s2d stem is a training-only win, PERFORMANCE.md)
+        out = bench_rec(fold_normalize=True)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))

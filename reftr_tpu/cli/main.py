@@ -118,6 +118,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                         " (exact fold of the 7x7/s2 stem)")
     p.add_argument("--fold_bn", action="store_true",
                    help="fold FrozenBN scales into conv kernels at load")
+    p.add_argument("--fold_normalize", action="store_true",
+                   help="fold /255 + ImageNet normalize into the stem conv"
+                        " (uint8 input path; requires --fold_bn)")
+    p.add_argument("--backbone_pad_width", default=0, type=int,
+                   help="zero-pad bottleneck inner widths below this to it"
+                        " (exact; fills MXU lanes at layer1)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of early steps")
     p.add_argument("--debug_nans", action="store_true",
@@ -167,6 +173,8 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.remat = args.remat
     m.space_to_depth_stem = args.space_to_depth_stem
     m.fold_bn = args.fold_bn
+    m.fold_normalize = args.fold_normalize
+    m.backbone_pad_width = args.backbone_pad_width
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef

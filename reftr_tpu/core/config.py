@@ -106,6 +106,13 @@ class ModelConfig:
     space_to_depth_stem: bool = False
     # fold FrozenBN scales into conv kernels at load (bias-only BN)
     fold_bn: bool = False
+    # fold /255 + ImageNet normalize into the stem conv weights: the model
+    # consumes raw uint8 canvases with no separate normalize pass (uint8
+    # inputs only; requires fold_bn — nn/fold.py)
+    fold_normalize: bool = False
+    # zero-pad bottleneck inner widths below this to it (exact
+    # reparameterization; fills MXU lanes at layer1's width-64 convs)
+    backbone_pad_width: int = 0
 
     @property
     def use_decoder(self) -> bool:

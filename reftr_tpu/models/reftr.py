@@ -94,6 +94,7 @@ class RefTR(nn.Module):
         self.img_backbone = ResNet(
             mc.backbone, self.return_interm_layers, mc.dilation, dtype=dtype,
             space_to_depth=mc.space_to_depth_stem, fold_bn=mc.fold_bn,
+            min_inner_width=mc.backbone_pad_width,
             name="img_backbone")
         self.lang_backbone = BertModel(mc.bert, dtype=dtype,
                                        name="lang_backbone")
@@ -148,9 +149,18 @@ class RefTR(nn.Module):
         """
         mc = self.config
         if image.dtype == jnp.uint8:
-            from reftr_tpu.ops.image import normalize_images
+            if mc.fold_normalize:
+                # /255 + mean/std folded into the stem weights (nn/fold.py)
+                image = image.astype(self._dtype)
+            else:
+                from reftr_tpu.ops.image import normalize_images
 
-            image = normalize_images(image, self._dtype)
+                image = normalize_images(image, self._dtype)
+        elif mc.fold_normalize:
+            raise ValueError(
+                "fold_normalize expects uint8 image inputs (the affine is "
+                "in the stem weights; float inputs would be normalized "
+                "twice)")
         feats = self.img_backbone(image)
         nfl = mc.num_feature_levels
         if nfl == 1:

@@ -51,10 +51,17 @@ class RefTRSeg(RefTR):
         b, s = sentence_valid.shape
 
         if batch["image"].dtype == jnp.uint8:
-            from reftr_tpu.ops.image import normalize_images
+            if mc.fold_normalize:
+                # /255 + mean/std folded into the stem weights (nn/fold.py)
+                image = batch["image"].astype(self._dtype)
+            else:
+                from reftr_tpu.ops.image import normalize_images
 
-            image = normalize_images(batch["image"], self._dtype)
+                image = normalize_images(batch["image"], self._dtype)
         else:
+            if mc.fold_normalize:
+                raise ValueError(
+                    "fold_normalize expects uint8 image inputs")
             image = batch["image"]
         feats = self.img_backbone(image)  # 4 levels (masks=True)
         src = self.input_proj[0](feats[-1])

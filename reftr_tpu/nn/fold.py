@@ -61,16 +61,101 @@ def _fold_pair(conv_p: Dict[str, Any], bn_p: Dict[str, Any],
     return folded, {"bias": shift.astype(np.float32)}
 
 
+def fold_normalize_into_stem(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold the uint8 input normalization (/255 + ImageNet mean/std,
+    ops/image.py) into the BN-folded stem, so the model consumes raw uint8
+    canvases cast to the compute dtype with NO separate normalize pass.
+
+    With n = a*x + b per channel (a_c = 1/(255*std_c), b_c = -mean_c/std_c):
+    conv(W, n) = conv(W*a, x) + sum_{taps}(W)*b — the input-channel scale
+    multiplies the stem kernel and the constant shift lands in bn1's folded
+    bias. Exact for every output whose taps lie inside the canvas; on the
+    outermost output ring the conv's SAME-padding taps change meaning from
+    'black pixels' (normalize(0) = b) to 'zero in normalized space' — which
+    is exactly the reference's NestedTensor padding semantics
+    (util/collate_fn.py:24-41 pads the NORMALIZED tensor with 0), so the
+    fold moves the uint8 path closer to the reference at the canvas edge.
+
+    Requires fold_bn (bn1 must be bias-only so the shift has a home).
+    """
+    from reftr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    out = {k: dict(v) for k, v in params.items()}
+    cname = "conv1_s2d" if "conv1_s2d" in out else "conv1"
+    assert "bias" in out["bn1"] and "weight" not in out["bn1"], (
+        "fold_normalize requires fold_bn (bias-only bn1)")
+    kernel = np.asarray(out[cname]["kernel"], np.float64)  # [kh,kw,cin,o]
+    cin = kernel.shape[2]
+    assert cin % 3 == 0, cin
+    mean = np.asarray(IMAGENET_MEAN, np.float64)
+    std = np.asarray(IMAGENET_STD, np.float64)
+    a = np.tile(1.0 / (255.0 * std), cin // 3)  # channel order (s, t, rgb)
+    b = np.tile(-mean / std, cin // 3)
+    bias_add = np.einsum("uvco,c->o", kernel, b)
+    out[cname] = {"kernel": (kernel * a[None, None, :, None]).astype(
+        np.float32)}
+    out["bn1"] = {"bias": (np.asarray(out["bn1"]["bias"], np.float64)
+                           + bias_add).astype(np.float32)}
+    return out
+
+
+def _pad_axis(arr: np.ndarray, axis: int, to: int,
+              value: float = 0.0) -> np.ndarray:
+    n = arr.shape[axis]
+    if n >= to:
+        return np.asarray(arr)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, to - n)
+    return np.pad(np.asarray(arr), pad, constant_values=value)
+
+
+def pad_inner_channels(params: Dict[str, Any], min_width: int) -> Dict:
+    """Zero-pad bottleneck inner channels (conv1-out / conv2 / conv3-in)
+    up to min_width — the param transform matching
+    ResNet(min_inner_width=min_width). Exact: padded output channels carry
+    zeros (kernel rows zero, bn scale 1 / shift 0 keep them zero through
+    relu), and conv3's padded INPUT channels have zero weights.
+    """
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in params.items()}
+    for name, mod in out.items():
+        if not name.startswith("layer"):
+            continue
+        w = np.asarray(mod["conv2"]["kernel"]).shape[2]
+        if w >= min_width:
+            continue
+        mod["conv1"] = {"kernel": _pad_axis(mod["conv1"]["kernel"], 3,
+                                            min_width)}
+        mod["conv2"] = {"kernel": _pad_axis(_pad_axis(
+            mod["conv2"]["kernel"], 2, min_width), 3, min_width)}
+        mod["conv3"] = {"kernel": _pad_axis(mod["conv3"]["kernel"], 2,
+                                            min_width)}
+        for bname in ("bn1", "bn2"):
+            bn = dict(mod[bname])
+            bn["bias"] = _pad_axis(bn["bias"], 0, min_width)
+            if "weight" in bn:  # unfolded BN: identity on padded channels
+                bn["weight"] = _pad_axis(bn["weight"], 0, min_width, 1.0)
+                bn["running_mean"] = _pad_axis(bn["running_mean"], 0,
+                                               min_width)
+                bn["running_var"] = _pad_axis(bn["running_var"], 0,
+                                              min_width, 1.0)
+            mod[bname] = bn
+    return out
+
+
 def optimize_resnet_params(
     params: Dict[str, Any],
     space_to_depth: bool = False,
     fold_bn: bool = False,
+    fold_normalize: bool = False,
+    min_inner_width: int = 0,
     eps: float = _BN_EPS,
 ) -> Dict[str, Any]:
     """Standard ResNet param tree -> tree for ResNet(space_to_depth, fold_bn).
 
     Order matters: the stem kernel is rearranged first, then BN scales fold
-    into whichever stem conv exists.
+    into whichever stem conv exists, then the input normalization folds
+    into the result.
     """
     out = {k: dict(v) for k, v in params.items()}
     if space_to_depth and "conv1" in out:
@@ -88,6 +173,10 @@ def optimize_resnet_params(
             if cname in out and "bn1" in out:
                 out[cname], out["bn1"] = _fold_pair(out[cname], out["bn1"],
                                                     eps)
+    if fold_normalize:
+        out = fold_normalize_into_stem(out)
+    if min_inner_width:
+        out = pad_inner_channels(out, min_inner_width)
     return out
 
 
@@ -95,12 +184,16 @@ def optimize_backbone_in_tree(params: Dict[str, Any], model_cfg) -> Dict:
     """Apply the configured stem/BN folds to a full model param tree (the
     _load_pretrained hook: converted reference checkpoints are standard)."""
     if not (getattr(model_cfg, "space_to_depth_stem", False)
-            or getattr(model_cfg, "fold_bn", False)):
+            or getattr(model_cfg, "fold_bn", False)
+            or getattr(model_cfg, "fold_normalize", False)
+            or getattr(model_cfg, "backbone_pad_width", 0)):
         return params
     out = dict(params)
     if "img_backbone" in out:
         out["img_backbone"] = optimize_resnet_params(
             out["img_backbone"],
             space_to_depth=model_cfg.space_to_depth_stem,
-            fold_bn=model_cfg.fold_bn)
+            fold_bn=model_cfg.fold_bn,
+            fold_normalize=getattr(model_cfg, "fold_normalize", False),
+            min_inner_width=getattr(model_cfg, "backbone_pad_width", 0))
     return out

@@ -81,7 +81,14 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
 
 
 class Bottleneck(nn.Module):
-    """torchvision Bottleneck (expansion 4, stride on conv2 = v1.5)."""
+    """torchvision Bottleneck (expansion 4, stride on conv2 = v1.5).
+
+    pad_width > width zero-pads the INNER (conv1-out/conv2/conv3-in)
+    channels up to pad_width — an exact reparameterization (padded
+    channels carry zeros through relu into conv3's zero input weights;
+    nn/fold.py pads converted checkpoints) that fills the MXU's 128
+    output lanes at the spatial-heavy low-width stages.
+    """
 
     width: int
     stride: int = 1
@@ -89,18 +96,20 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    pad_width: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.width * 4
+        inner = max(self.width, self.pad_width)
         fold = self.fold_bn
         identity = x
-        y = _conv(self.width, 1, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn1",
+        y = _conv(inner, 1, dtype=self.dtype, name="conv1")(x)
+        y = FrozenBatchNorm(inner, dtype=self.dtype, name="bn1",
                             folded=fold)(y)
         y = nn.relu(y)
-        y = _conv(self.width, 3, self.stride, self.dilation, self.dtype, "conv2")(y)
-        y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn2",
+        y = _conv(inner, 3, self.stride, self.dilation, self.dtype, "conv2")(y)
+        y = FrozenBatchNorm(inner, dtype=self.dtype, name="bn2",
                             folded=fold)(y)
         y = nn.relu(y)
         y = _conv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
@@ -131,6 +140,9 @@ class ResNet(nn.Module):
     # MXU's 128 contraction lanes). Weight fold: nn/fold.py.
     space_to_depth: bool = False
     fold_bn: bool = False  # BN scale folded into conv kernels at load
+    # zero-pad bottleneck inner widths below this to it (0 = off); fills
+    # MXU lanes at the spatial-heavy low-channel stages (layer1 width 64)
+    min_inner_width: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -175,6 +187,7 @@ class ResNet(nn.Module):
                     downsample=(b == 0),
                     dtype=self.dtype,
                     fold_bn=self.fold_bn,
+                    pad_width=self.min_inner_width,
                     name=f"layer{stage}_{b}",
                 )(x)
             feats.append(x)

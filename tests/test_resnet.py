@@ -2,6 +2,7 @@
 torch oracle (standard torchvision v1.5 bottleneck), shapes, mask subsampling."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -242,6 +243,84 @@ def test_space_to_depth_and_fold_bn_equivalence(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
                 err_msg=f"s2d={s2d} fold={fold}")
+
+
+def test_fold_normalize_equivalence(rng):
+    """Folding /255 + ImageNet normalize into the stem: raw-uint8 input
+    through the folded backbone == normalized input through the unfolded
+    one — exactly, for every output whose stem taps lie inside the canvas.
+    The outermost output ring differs by design (the fold gives the canvas
+    SAME-padding the reference's zero-in-normalized-space semantics; see
+    nn/fold.py docstring)."""
+    import jax
+
+    from reftr_tpu.nn.fold import optimize_resnet_params
+    from reftr_tpu.ops.image import normalize_images
+
+    base = ResNet("resnet50", return_interm_layers=True)
+    img = rng.integers(0, 256, size=(1, 128, 160, 3)).astype(np.uint8)
+    x_norm = np.asarray(normalize_images(img))
+    params = base.init(jax.random.PRNGKey(0), x_norm)["params"]
+    ref = base.apply({"params": params}, x_norm)
+
+    for s2d in (False, True):
+        opt_model = ResNet("resnet50", return_interm_layers=True,
+                           space_to_depth=s2d, fold_bn=True)
+        opt_params = optimize_resnet_params(
+            params, space_to_depth=s2d, fold_bn=True, fold_normalize=True)
+        out = opt_model.apply({"params": opt_params},
+                              img.astype(np.float32))
+        # layer1 output is stride 4; the stem border halo (2 stem px) grows
+        # through the maxpool (2 px) and layer1's three 3x3 convs (3 px) to
+        # ~6 layer1 pixels — compare beyond it
+        a = np.asarray(ref[0])[:, 6:-6, 6:-6]
+        b = np.asarray(out[0])[:, 6:-6, 6:-6]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"s2d={s2d}")
+        # deeper stages: halo grows with receptive field; just check finite
+        # + same shape (the interior argument holds transitively)
+        for ra, rb in zip(ref[1:], out[1:]):
+            assert ra.shape == rb.shape and np.isfinite(
+                np.asarray(rb)).all()
+
+    # requires fold_bn
+    with pytest.raises(AssertionError, match="fold_bn"):
+        optimize_resnet_params(params, fold_normalize=True)
+
+
+def test_pad_inner_channels_equivalence(rng):
+    """min_inner_width zero-padding is an exact reparameterization: padded
+    channels stay zero through bn/relu and contribute nothing to conv3."""
+    import jax
+
+    from reftr_tpu.nn.fold import optimize_resnet_params
+
+    base = ResNet("resnet50", return_interm_layers=True)
+    x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32)
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    # non-trivial bn stats
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (np.abs(rng.normal(size=v.shape)).astype(np.float32)
+                      + 0.5) if "running_var" in jax.tree_util.keystr(p)
+        else v, params)
+    ref = base.apply({"params": params}, x)
+
+    for fold in (False, True):
+        padded_model = ResNet("resnet50", return_interm_layers=True,
+                              fold_bn=fold, min_inner_width=128)
+        opt = optimize_resnet_params(params, fold_bn=fold,
+                                     min_inner_width=128)
+        init_tree = jax.tree_util.tree_structure(
+            padded_model.init(jax.random.PRNGKey(1), x)["params"])
+        assert jax.tree_util.tree_structure(opt) == init_tree
+        assert opt["layer1_0"]["conv2"]["kernel"].shape == (3, 3, 128, 128)
+        assert opt["layer2_0"]["conv2"]["kernel"].shape == (3, 3, 128, 128)
+        assert opt["layer3_0"]["conv2"]["kernel"].shape == (3, 3, 256, 256)
+        out = padded_model.apply({"params": opt}, x)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"fold={fold}")
 
 
 def test_fold_matches_torch_converted_weights(rng):

@@ -131,7 +131,8 @@ def bench_seg(batch_size=32):
 
 
 def bench_train(batch_size=32, optimized=False, uint8=False,
-                fold_normalize=False, pad_width=0):
+                fold_normalize=False, pad_width=0, backbone_remat=False,
+                remat_stages=()):
     import jax
     import jax.numpy as jnp
 
@@ -146,7 +147,9 @@ def bench_train(batch_size=32, optimized=False, uint8=False,
     mc = ModelConfig(dtype="bfloat16", aux_loss=True,
                      space_to_depth_stem=optimized, fold_bn=optimized,
                      fold_normalize=fold_normalize,
-                     backbone_pad_width=pad_width)
+                     backbone_pad_width=pad_width,
+                     backbone_remat=backbone_remat,
+                     backbone_remat_stages=tuple(remat_stages))
     cfg = RefTRConfig(model=mc)
     model, wd = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -191,6 +194,10 @@ def bench_train(batch_size=32, optimized=False, uint8=False,
         name = "train_u8"
     if pad_width:
         name += f"_pad{pad_width}"
+    if backbone_remat:
+        name += "_rm"
+    elif remat_stages:
+        name += "_rm" + "".join(str(s) for s in remat_stages)
     return {
         "metric": name + "_images_per_sec_per_chip",
         "value": round(ips, 2),
@@ -222,6 +229,14 @@ def main():
     elif mode == "train_pad":
         # layer1 inner widths zero-padded 64 -> 128 (MXU lane fill)
         out = bench_train(optimized=True, pad_width=128)
+    elif mode == "train_rm":
+        # + per-bottleneck backbone remat (recompute vs HBM round-trips)
+        out = bench_train(optimized=True, fold_normalize=True,
+                          backbone_remat=True)
+    elif mode == "train_rm1":
+        # remat layer1 only (59% of the backbone fwd+bwd per conv_profile)
+        out = bench_train(optimized=True, fold_normalize=True,
+                          remat_stages=(1,))
     elif mode == "rec_fn":
         # serving path with normalize folded into the stem (no s2d: the
         # s2d stem is a training-only win, PERFORMANCE.md)

@@ -124,6 +124,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--backbone_pad_width", default=0, type=int,
                    help="zero-pad bottleneck inner widths below this to it"
                         " (exact; fills MXU lanes at layer1)")
+    p.add_argument("--backbone_remat", action="store_true",
+                   help="jax.checkpoint each backbone bottleneck (trade"
+                        " recompute FLOPs for HBM activation traffic)")
+    p.add_argument("--backbone_remat_stages", default=[], type=int,
+                   nargs="*", help="remat only these backbone stages (1-4)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of early steps")
     p.add_argument("--debug_nans", action="store_true",
@@ -175,6 +180,8 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.fold_bn = args.fold_bn
     m.fold_normalize = args.fold_normalize
     m.backbone_pad_width = args.backbone_pad_width
+    m.backbone_remat = args.backbone_remat
+    m.backbone_remat_stages = tuple(args.backbone_remat_stages)
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef

@@ -113,6 +113,11 @@ class ModelConfig:
     # zero-pad bottleneck inner widths below this to it (exact
     # reparameterization; fills MXU lanes at layer1's width-64 convs)
     backbone_pad_width: int = 0
+    # jax.checkpoint each backbone bottleneck (recompute inner activations
+    # in backward instead of round-tripping them through HBM); _stages
+    # remats only the listed stages (1..4)
+    backbone_remat: bool = False
+    backbone_remat_stages: Tuple[int, ...] = ()
 
     @property
     def use_decoder(self) -> bool:

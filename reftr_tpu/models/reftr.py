@@ -95,6 +95,8 @@ class RefTR(nn.Module):
             mc.backbone, self.return_interm_layers, mc.dilation, dtype=dtype,
             space_to_depth=mc.space_to_depth_stem, fold_bn=mc.fold_bn,
             min_inner_width=mc.backbone_pad_width,
+            remat_blocks=mc.backbone_remat,
+            remat_stages=tuple(mc.backbone_remat_stages),
             name="img_backbone")
         self.lang_backbone = BertModel(mc.bert, dtype=dtype,
                                        name="lang_backbone")

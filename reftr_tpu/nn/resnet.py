@@ -143,6 +143,14 @@ class ResNet(nn.Module):
     # zero-pad bottleneck inner widths below this to it (0 = off); fills
     # MXU lanes at the spatial-heavy low-channel stages (layer1 width 64)
     min_inner_width: int = 0
+    # jax.checkpoint bottlenecks: backward recomputes the block's inner
+    # activations instead of reading them back from HBM — a candidate win
+    # for the bandwidth-bound conv backward at 640px (measured in bench.py).
+    # remat_blocks=True remats every block; remat_stages remats only the
+    # listed stages (1..4) — the conv-level profile puts 59% of the
+    # backbone's fwd+bwd in stem+layer1, so (1,) is the targeted variant.
+    remat_blocks: bool = False
+    remat_stages: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -172,6 +180,9 @@ class ResNet(nn.Module):
         feats = []
         widths = (64, 128, 256, 512)
         for stage, (width, n_blocks) in enumerate(zip(widths, blocks), start=1):
+            block_cls = (nn.remat(Bottleneck)
+                         if self.remat_blocks or stage in self.remat_stages
+                         else Bottleneck)
             stride = 1 if stage == 1 else 2
             dilation = 1
             if stage == 4 and self.dilation:
@@ -180,7 +191,7 @@ class ResNet(nn.Module):
                 # torchvision's replace_stride_with_dilation: block 0 keeps
                 # the previous dilation (1), later blocks use the new one.
                 block_dilation = 1 if b == 0 else dilation
-                x = Bottleneck(
+                x = block_cls(
                     width=width,
                     stride=stride if b == 0 else 1,
                     dilation=block_dilation,

@@ -62,7 +62,7 @@ def profile(batch: int = 32, hw: int = 640, s2d: bool = True,
         return (params, x0 + np.float32(i) * 1e-6)
 
     print(f"# cumulative programs, B={batch} {hw}px bf16 "
-          f"s2d={s2d} fold={fold}")
+          f"s2d={s2d} fold={fold}", flush=True)
     prev_f = prev_t = 0.0
     for k in range(4):
         fwd = jax.jit(lambda p, x, k=k: stage_out(p, x, k))
@@ -83,7 +83,7 @@ def profile(batch: int = 32, hw: int = 640, s2d: bool = True,
             train(p, x))[0], targs)
         name = f"stem+layer1..{k + 1}"
         print(f"{name:18s} fwd {t_f:7.1f} ms (+{t_f - prev_f:6.1f})   "
-              f"fwd+bwd {t_t:7.1f} ms (+{t_t - prev_t:6.1f})")
+              f"fwd+bwd {t_t:7.1f} ms (+{t_t - prev_t:6.1f})", flush=True)
         prev_f, prev_t = t_f, t_t
 
 

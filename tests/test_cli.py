@@ -59,11 +59,17 @@ def test_r101_variants_differ_only_in_backbone():
 
 def test_args_to_config_mapping():
     args = parse(["--preset", "refcoco_seg", "--dtype", "bfloat16",
-                  "--space_to_depth_stem", "--lr_bert_names", "a", "b"])
+                  "--space_to_depth_stem", "--fold_bn", "--fold_normalize",
+                  "--backbone_pad_width", "128", "--backbone_remat",
+                  "--lr_bert_names", "a", "b"])
     cfg = args_to_config(args)
     assert cfg.model.masks is True
     assert cfg.model.dtype == "bfloat16"
     assert cfg.model.space_to_depth_stem is True
+    assert cfg.model.fold_bn is True
+    assert cfg.model.fold_normalize is True
+    assert cfg.model.backbone_pad_width == 128
+    assert cfg.model.backbone_remat is True
     assert cfg.train.lr == pytest.approx(1e-5)
     assert cfg.train.lr_mask_branch_proj == pytest.approx(10.0)
     assert cfg.train.lr_bert_names == ("a", "b")

@@ -323,6 +323,34 @@ def test_pad_inner_channels_equivalence(rng):
                                        err_msg=f"fold={fold}")
 
 
+def test_remat_blocks_equivalence(rng):
+    """Per-bottleneck jax.checkpoint (full or stage-selective) changes the
+    schedule, not the function: forward identical, gradients match."""
+    import jax
+    import jax.numpy as jnp
+
+    base = ResNet("resnet50", return_interm_layers=False)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    (ref,) = base.apply({"params": params}, x)
+
+    def loss(model):
+        return lambda p: jnp.sum(model.apply({"params": p}, x)[0] ** 2)
+
+    g_ref = jax.grad(loss(base))(params)
+    for kw in (dict(remat_blocks=True), dict(remat_stages=(1, 2))):
+        m = ResNet("resnet50", return_interm_layers=False, **kw)
+        (out,) = m.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        g = jax.grad(loss(m))(params)
+        a = jax.tree_util.tree_leaves(g_ref)
+        b = jax.tree_util.tree_leaves(g)
+        for ga, gb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_fold_matches_torch_converted_weights(rng):
     """Stem fold on real converter output: torch 7x7 kernel -> s2d kernel,
     conv1 output equal on a small input."""

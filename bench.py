@@ -107,23 +107,26 @@ def bench_rec(batch_size=64, fold_normalize=False):
     }
 
 
-def bench_seg(batch_size=32):
+def bench_seg(batch_size=32, fold_normalize=False):
     import jax
 
     from reftr_tpu.core.config import ModelConfig, RefTRConfig
     from reftr_tpu.models import build_model
 
-    cfg = RefTRConfig(model=ModelConfig(dtype="bfloat16", aux_loss=False,
-                                        masks=True))
+    cfg = RefTRConfig(model=ModelConfig(
+        dtype="bfloat16", aux_loss=False, masks=True,
+        fold_bn=fold_normalize, fold_normalize=fold_normalize))
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = make_batch(rng, batch_size, cfg.data.img_size,
-                       cfg.data.max_query_len, cfg.model.bert.vocab_size)
+                       cfg.data.max_query_len, cfg.model.bert.vocab_size,
+                       uint8=fold_normalize)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     batch = jax.device_put(batch)
     ips = measure_eval(model, params, batch, batch_size)
     return {
-        "metric": "seg_inference_images_per_sec_per_chip",
+        "metric": ("seg_inference_fn" if fold_normalize
+                   else "seg_inference") + "_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_PYTORCH_SEG_BASELINE_IMG_PER_SEC, 3),
@@ -213,6 +216,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     mode = sys.argv[1] if len(sys.argv) > 1 else "rec"
     if mode == "rec":
+        # driver contract: the production serving config (fold_bn +
+        # fold_normalize, exact reparameterizations — PERFORMANCE.md r3)
+        out = bench_rec(fold_normalize=True)
+        out["metric"] = "inference_images_per_sec_per_chip"
+    elif mode == "rec_plain":
         out = bench_rec()
     elif mode == "seg":
         out = bench_seg()
@@ -241,6 +249,8 @@ def main():
         # serving path with normalize folded into the stem (no s2d: the
         # s2d stem is a training-only win, PERFORMANCE.md)
         out = bench_rec(fold_normalize=True)
+    elif mode == "seg_fn":
+        out = bench_seg(fold_normalize=True)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))

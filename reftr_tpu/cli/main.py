@@ -92,6 +92,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default="./data", type=str)
     p.add_argument("--num_workers", default=2, type=int)
     p.add_argument("--cache_mode", action="store_true")
+    p.add_argument("--synthetic_box_frac", default=[1 / 6, 1 / 3],
+                   type=float, nargs=2,
+                   help="synthetic-fixture box side range (fraction of"
+                        " img_size); (0.25, 0.5) = the calibrated"
+                        " learning-validation recipe")
     # run control
     p.add_argument("--output_dir", default="")
     p.add_argument("--seed", default=42, type=int)
@@ -201,6 +206,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     d.batch_size = args.batch_size
     d.num_workers = args.num_workers
     d.cache_mode = args.cache_mode
+    d.synthetic_box_frac = tuple(args.synthetic_box_frac)
     d.multi_phrase = args.dataset == "flickr30k"
     # train
     t.lr = args.lr

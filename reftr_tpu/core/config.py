@@ -173,6 +173,10 @@ class DataConfig:
     cache_mode: bool = False
     # color jitter strength of RandomIntensitySaturation (transforms.py:266-285)
     hsv_jitter: float = 0.5
+    # synthetic-fixture box side range as a fraction of img_size; the
+    # calibrated learning recipe uses (0.25, 0.5) so IoU@0.5 tests
+    # localization rather than sub-stride precision (tests/test_learning.py)
+    synthetic_box_frac: Tuple[float, float] = (1 / 6, 1 / 3)
 
 
 @dataclass

@@ -72,7 +72,8 @@ def build_refer_dataset(split: str, cfg: DataConfig,
         return SyntheticGroundingDataset(
             tokenizer, n=256 if train else 64, img_size=cfg.img_size,
             canvas=cfg.max_img_size, max_query_len=cfg.max_query_len,
-            with_masks=masks, seed=seed)
+            with_masks=masks, seed=seed,
+            box_frac=tuple(cfg.synthetic_box_frac))
 
     if masks:
         version = REFCOCO_VERSIONS.get(cfg.dataset, cfg.dataset)

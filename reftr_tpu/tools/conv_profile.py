@@ -51,10 +51,12 @@ def profile(batch: int = 32, hw: int = 640, s2d: bool = True,
     x0 = jax.device_put(x0)
 
     def stage_out(params, x, k):
+        # feats = (layer1..layer4): summing only feats[:k+1] lets XLA
+        # dead-code-eliminate the unused later stages, so program k
+        # executes exactly the stem..layer{k+1} prefix. The stem itself is
+        # not separable (layer1's input is not an output); its cost is
+        # inside the k=0 row.
         feats = model.apply({"params": params}, x)
-        # feats = (layer1..layer4); k=0 means stem only — approximate via
-        # layer1's input is not exposed, so stem cost comes out of k=1's
-        # delta being layer1+stem; report cumulative programs instead
         return sum(jnp.sum(feats[i].astype(jnp.float32))
                    for i in range(k + 1))
 
@@ -76,9 +78,8 @@ def profile(batch: int = 32, hw: int = 640, s2d: bool = True,
         def targs(i):
             return (params, x0 + np.float32(i) * 1e-6)
 
-        def fetch_one(g):
-            return g
-
+        # fetching one grad leaf bounds the timing: the program is a
+        # single execution, so any output implies completion
         t_t = _time_fn(lambda p, x: jax.tree_util.tree_leaves(
             train(p, x))[0], targs)
         name = f"stem+layer1..{k + 1}"

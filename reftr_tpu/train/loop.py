@@ -162,7 +162,26 @@ def run_training(cfg: RefTRConfig) -> Dict:
 
     sample_batch, _ = next(iter(train_loader))
     rng = jax.random.PRNGKey(cfg.train.seed)
-    params = model.init(rng, sample_batch)["params"]
+    fold_flags = (cfg.model.space_to_depth_stem or cfg.model.fold_bn
+                  or cfg.model.fold_normalize or cfg.model.backbone_pad_width)
+    if fold_flags:
+        # the stem/BN/normalize folds are WEIGHT transforms: a from-scratch
+        # run must initialize the STANDARD backbone and fold those params,
+        # or (with fold_normalize especially) a standard-scale random stem
+        # kernel would see raw 0..255 inputs and training stalls. Pretrained
+        # loads below overwrite this with the fold of the checkpoint.
+        import dataclasses as _dc
+
+        from reftr_tpu.nn.fold import optimize_backbone_in_tree
+
+        base_model, _ = build_model(_dc.replace(
+            cfg, model=_dc.replace(
+                cfg.model, space_to_depth_stem=False, fold_bn=False,
+                fold_normalize=False, backbone_pad_width=0)))
+        params = base_model.init(rng, sample_batch)["params"]
+        params = optimize_backbone_in_tree(params, cfg.model)
+    else:
+        params = model.init(rng, sample_batch)["params"]
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     master_print(f"n_parameters: {n_params}")

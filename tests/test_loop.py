@@ -35,6 +35,36 @@ def micro_config(out_dir, epochs=1):
 
 
 @pytest.mark.slow
+def test_run_training_from_scratch_with_folds():
+    """From-scratch training with the stem/BN/normalize folds must fold the
+    INIT params too (loop.py) — a standard-scale random stem kernel fed raw
+    0..255 uint8 stalls training (found on the chip in round 3: loss
+    plateaued at 3.98 while the unfolded run descends)."""
+    import jax
+    import numpy as np
+
+    from reftr_tpu.train.loop import run_training
+
+    out = tempfile.mkdtemp()
+    cfg = micro_config(out, epochs=2)
+    cfg.model.space_to_depth_stem = True
+    cfg.model.fold_bn = True
+    cfg.model.fold_normalize = True
+    result = run_training(cfg)
+    losses = [h["train_loss"] for h in result["history"]]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # the folded stem kernel carries the 1/(255*std) input scale: its
+    # magnitude must be ~2 orders below a standard xavier init
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.join(out, "checkpoint"))
+    k = np.asarray(payload["params"]["img_backbone"]["conv1_s2d"]["kernel"])
+    assert np.abs(k).max() < 0.02, np.abs(k).max()
+
+
+@pytest.mark.slow
 def test_run_training_and_resume():
     from reftr_tpu.train.loop import run_training
 

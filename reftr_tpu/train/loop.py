@@ -165,6 +165,15 @@ def run_training(cfg: RefTRConfig) -> Dict:
     fold_flags = (cfg.model.space_to_depth_stem or cfg.model.fold_bn
                   or cfg.model.fold_normalize or cfg.model.backbone_pad_width)
     if fold_flags:
+        if cfg.model.fold_normalize and not cfg.train.eval_only:
+            # measured (PERFORMANCE.md r3): from-scratch training with the
+            # normalize fold converges far slower (fixture acc 0.31 vs
+            # 0.77 at epoch 24) even with the stem frozen; it is a
+            # serving/eval optimization
+            master_print(
+                "WARNING: --fold_normalize degrades TRAINING convergence "
+                "(measured); use it for --eval/serving only and train with "
+                "--space_to_depth_stem --fold_bn instead")
         # the stem/BN/normalize folds are WEIGHT transforms: a from-scratch
         # run must initialize the STANDARD backbone and fold those params,
         # or (with fold_normalize especially) a standard-scale random stem

@@ -185,8 +185,11 @@ def bench_train(batch_size=32, optimized=False, uint8=False,
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(state, perturbed(100 + i), targets)
-    float(m["loss"])  # device->host fetch bounds the timing
+    final_loss = float(m["loss"])  # device->host fetch bounds the timing
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), (
+        f"train step produced non-finite loss {final_loss}: the timing "
+        "would be measuring garbage")
     ips = b * steps / dt
     name = "train"
     if optimized:

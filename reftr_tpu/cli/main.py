@@ -139,6 +139,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail at the op producing "
                         "the first NaN instead of at the loss tripwire)")
+    p.add_argument("--no_donate_state", action="store_true",
+                   help="disable train-state buffer donation (debugging "
+                        "aid; donation halves peak state memory)")
     p.add_argument("--bert_size", default="base", choices=("base", "tiny"),
                    help="tiny uses a small random-init language encoder "
                         "(smoke tests; no reference equivalent)")
@@ -236,6 +239,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     t.eval_only = args.eval
     t.pretrained_model = args.pretrained_model
     t.profile_dir = args.profile_dir
+    t.donate_state = not args.no_donate_state
     t.visualize = args.visualize
     # mesh
     mesh.data = args.mesh_data

@@ -41,6 +41,7 @@ from reftr_tpu.train.optimizer import build_optimizer
 from reftr_tpu.train.schedules import build_schedule
 from reftr_tpu.train.state import TrainState
 from reftr_tpu.train.steps import (
+    donation_is_safe,
     make_eval_step,
     make_train_step,
     shard_state,
@@ -243,9 +244,14 @@ def run_training(cfg: RefTRConfig) -> Dict:
             best_val_acc = float(meta.get("best_val_acc", 0.0))
         master_print(f"Resumed from {resume} at epoch {start_epoch}")
 
+    donate = cfg.train.donate_state
+    if donate and not donation_is_safe():
+        master_print("state donation disabled: unsafe on platform selection "
+                     f"'{jax.config.jax_platforms}' (see train/steps.py)")
+        donate = False
     train_step = make_train_step(model, wdict, cfg.loss, world_size=world,
                                  with_masks=cfg.model.masks,
-                                 donate=cfg.train.donate_state,
+                                 donate=donate,
                                  lr_fn=lambda s: cfg.train.lr * schedule(s),
                                  mesh=mesh)
     eval_step = make_eval_step(model, wdict, cfg.loss, world_size=world,

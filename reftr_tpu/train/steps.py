@@ -28,6 +28,28 @@ from reftr_tpu.parallel.sharding import batch_sharding, param_shardings
 from reftr_tpu.train.state import TrainState
 
 
+# Donating the train state into the step halves peak state memory and is
+# the default on real backends.  The 'axon' remote-TPU tunnel is the
+# exception: with donation on, from-scratch smoke training deterministically
+# produced a NaN loss at the same step across 3 runs while the state saved
+# one epoch earlier was 100% finite, and the identical run was clean with
+# donation off, with jax_debug_nans (which disables donation), and on CPU
+# with donation ON.  The tunnel's buffer reclamation races its host fetches
+# (its block_until_ready is advisory), so donated-buffer reuse can corrupt
+# an in-flight read.  See PERFORMANCE.md "Donation on the axon tunnel".
+UNSAFE_DONATION_PLATFORMS = ("axon",)
+
+
+def donation_is_safe(platforms: str | None = None) -> bool:
+    # The axon plugin's devices self-report platform "tpu", so
+    # default_backend() can't identify the tunnel; the platform *selection*
+    # (jax_platforms, e.g. "axon,cpu") is where the plugin name appears.
+    if platforms is None:
+        platforms = jax.config.jax_platforms or ""
+    selected = platforms.split(",")
+    return not any(p in UNSAFE_DONATION_PLATFORMS for p in selected)
+
+
 def make_train_step(
     model,
     weight_dict: Dict[str, float],

@@ -394,3 +394,21 @@ def test_flagship_geometry_aot_compile_mesh():
     assert qproj.spec == P(None, "model"), qproj
     conv = out_state_sh.params["img_backbone"]["layer3_0"]["conv2"]["kernel"]
     assert conv.spec == P(), conv
+
+
+def test_donation_guard_platforms():
+    """State donation is auto-disabled on the axon tunnel backend.
+
+    Measured (PERFORMANCE.md "Donation on the axon tunnel"): donated-buffer
+    reclamation races the tunnel's advisory host fetches -> deterministic
+    NaN loss with fully-finite state. Real backends keep donation."""
+    from reftr_tpu.train import steps as steps_lib
+
+    # the tunnel plugin appears in the platform SELECTION (its devices
+    # self-report "tpu", so backend names cannot identify it)
+    assert not steps_lib.donation_is_safe("axon,cpu")
+    assert not steps_lib.donation_is_safe("axon")
+    for platforms in ("cpu", "tpu", "gpu", "", "tpu,cpu"):
+        assert steps_lib.donation_is_safe(platforms)
+    # the live default reads jax_platforms (cpu-forced in tests -> safe)
+    assert steps_lib.donation_is_safe()

@@ -81,14 +81,17 @@ def measure_eval(model, params, batch, batch_size, steps=STEPS):
     return batch_size * steps / dt
 
 
-def bench_rec(batch_size=64, fold_normalize=False):
+def bench_rec(batch_size=64, fold_normalize=False, quantize=False):
+    import dataclasses as dc
+
     import jax
 
     from reftr_tpu.core.config import ModelConfig, RefTRConfig
     from reftr_tpu.models import build_model
 
     mc = ModelConfig(dtype="bfloat16", aux_loss=False,
-                     fold_bn=fold_normalize, fold_normalize=fold_normalize)
+                     fold_bn=fold_normalize or quantize,
+                     fold_normalize=fold_normalize)
     cfg = RefTRConfig(model=mc)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -97,10 +100,29 @@ def bench_rec(batch_size=64, fold_normalize=False):
                        uint8=True)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     batch = jax.device_put(batch)
+    if quantize:
+        # int8 PTQ serving path (nn/quant.py): calibrate input scales on
+        # one batch, rewrite the backbone convs, serve the int8 model
+        from reftr_tpu.nn.quant import quantize_backbone_params
+
+        calib_model, _ = build_model(RefTRConfig(model=dc.replace(
+            mc, quant_calibrate=True)))
+        _, var = jax.jit(lambda p, b: calib_model.apply(
+            p, b, mutable=["calib"]))(params, batch)
+        qtree = quantize_backbone_params(
+            jax.device_get(params["params"]["img_backbone"]),
+            jax.device_get(var["calib"]["img_backbone"]))
+        params = {"params": dict(params["params"], img_backbone=qtree)}
+        model, _ = build_model(RefTRConfig(model=dc.replace(
+            mc, quantize_int8=True)))
     ips = measure_eval(model, params, batch, batch_size)
+    name = "inference"
+    if quantize:
+        name = "inference_int8"
+    elif fold_normalize:
+        name = "inference_fn"
     return {
-        "metric": ("inference_fn" if fold_normalize else "inference")
-                  + "_images_per_sec_per_chip",
+        "metric": name + "_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
@@ -248,6 +270,9 @@ def main():
         # remat layer1 only (59% of the backbone fwd+bwd per conv_profile)
         out = bench_train(optimized=True, fold_normalize=True,
                           remat_stages=(1,))
+    elif mode == "rec_int8":
+        # + int8 PTQ of the backbone bottleneck convs (--quantize_int8)
+        out = bench_rec(fold_normalize=True, quantize=True)
     elif mode == "rec_fn":
         # serving path with normalize folded into the stem (no s2d: the
         # s2d stem is a training-only win, PERFORMANCE.md)

@@ -129,6 +129,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--backbone_pad_width", default=0, type=int,
                    help="zero-pad bottleneck inner widths below this to it"
                         " (exact; fills MXU lanes at layer1)")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 PTQ of the backbone bottleneck convs for"
+                        " --eval/serving (2x MXU peak; requires --fold_bn;"
+                        " calibrates input scales on the first eval batches)")
+    p.add_argument("--quant_calib_batches", default=4, type=int,
+                   help="eval batches used to calibrate int8 input scales")
     p.add_argument("--backbone_remat", action="store_true",
                    help="jax.checkpoint each backbone bottleneck (trade"
                         " recompute FLOPs for HBM activation traffic)")
@@ -190,6 +196,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.backbone_pad_width = args.backbone_pad_width
     m.backbone_remat = args.backbone_remat
     m.backbone_remat_stages = tuple(args.backbone_remat_stages)
+    m.quantize_int8 = args.quantize_int8
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef
@@ -241,6 +248,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     t.profile_dir = args.profile_dir
     t.donate_state = not args.no_donate_state
     t.visualize = args.visualize
+    t.quant_calib_batches = args.quant_calib_batches
     # mesh
     mesh.data = args.mesh_data
     mesh.model = args.mesh_model

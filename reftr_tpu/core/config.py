@@ -118,6 +118,13 @@ class ModelConfig:
     # remats only the listed stages (1..4)
     backbone_remat: bool = False
     backbone_remat_stages: Tuple[int, ...] = ()
+    # int8 post-training quantization of the backbone's bottleneck convs
+    # (serving/eval only — the MXU's int8 path runs at 2x the bf16 peak;
+    # nn/quant.py). Requires fold_bn. quant_calibrate is the internal
+    # calibration-pass twin (records per-conv input absmax via
+    # mutable=['calib']); never set it from the CLI.
+    quantize_int8: bool = False
+    quant_calibrate: bool = False
 
     @property
     def use_decoder(self) -> bool:
@@ -227,6 +234,8 @@ class TrainConfig:
     donate_state: bool = True
     profile_dir: str = ""  # jax.profiler trace of a few early steps
     visualize: bool = False  # dump qualitative JPEGs during --eval
+    # eval batches used to calibrate int8 input scales (quantize_int8)
+    quant_calib_batches: int = 4
 
 
 @dataclass

@@ -97,6 +97,7 @@ class RefTR(nn.Module):
             min_inner_width=mc.backbone_pad_width,
             remat_blocks=mc.backbone_remat,
             remat_stages=tuple(mc.backbone_remat_stages),
+            quantize=mc.quantize_int8, sow_absmax=mc.quant_calibrate,
             name="img_backbone")
         self.lang_backbone = BertModel(mc.bert, dtype=dtype,
                                        name="lang_backbone")

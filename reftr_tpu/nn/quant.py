@@ -1,0 +1,170 @@
+"""Int8 post-training quantization for the ResNet backbone (serving only).
+
+The backbone is 77% of serving device time (PERFORMANCE.md) and the MXU
+runs int8 at twice the bf16 peak, so the convs are lowered to int8 while
+everything around them stays in the model's compute dtype:
+
+    x (bf16) -> quantize(x / s_in) -> int8 conv -> int32
+      -> dequantize(* s_in * w_scale[c]) -> bf16 -> (+ folded-BN bias, relu)
+
+Activations stay FP between convs — residual adds, relu, and the
+quant/dequant chains are elementwise and fuse; only the conv itself runs
+on the int8 MXU path. Scales are static: per-output-channel for weights
+(absmax / 127), per-tensor for each conv input (absmax over calibration
+batches, recorded by `sow_absmax` in nn/resnet.py).
+
+This has no reference counterpart (the reference serves fp32 CUDA,
+models/modeling/backbone.py); it is a TPU-native serving feature gated
+behind --quantize_int8 and validated for accuracy in
+tests/test_quantize.py. Requires fold_bn (the BN scale must live in the
+conv kernel for per-channel weight quantization to absorb it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+QMAX = 127.0
+
+
+class QuantConv(nn.Module):
+    """Drop-in for nn.Conv(use_bias=False) running the int8 MXU path.
+
+    Expects params produced by `quantize_conv_kernel`:
+      kernel_q [kh,kw,cin,cout] int8, w_scale [cout] f32, in_scale [] f32.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: tuple = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (kh, kw, cin, self.features), jnp.int8)
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        in_scale = self.param("in_scale", nn.initializers.ones,
+                              (), jnp.float32)
+        # quantization math in f32: bf16 has an 8-bit mantissa, so rounding
+        # x/s to the int8 grid in bf16 would add up to +-0.5 extra error at
+        # magnitudes near 127. The chain is elementwise and fuses either way.
+        inv = 1.0 / in_scale
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                      -QMAX, QMAX).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xq, kq, self.strides, self.padding,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        scale = w_scale * in_scale
+        return (y.astype(jnp.float32) * scale).astype(self.dtype)
+
+
+def quantize_conv_kernel(kernel: jnp.ndarray, in_absmax: float) -> Dict:
+    """fp kernel [kh,kw,cin,cout] + calibrated input absmax -> QuantConv params.
+
+    Weight scale is per output channel (absmax/127); symmetric, zero-point
+    free (TPU int8 matmul has no zero-point path, and conv inputs here are
+    relu outputs or normalized images, both ~symmetric or one-sided where
+    clipping at 0 loses nothing)."""
+    k = np.asarray(kernel, np.float32)
+    w_absmax = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0)
+    w_scale = np.maximum(w_absmax, 1e-12) / QMAX
+    kq = np.clip(np.round(k / w_scale), -QMAX, QMAX).astype(np.int8)
+    in_scale = np.float32(max(float(in_absmax), 1e-12) / QMAX)
+    return {
+        "kernel_q": jnp.asarray(kq),
+        "w_scale": jnp.asarray(w_scale),
+        "in_scale": jnp.asarray(in_scale),
+    }
+
+
+# conv param names inside a Bottleneck subtree (resnet.py module names);
+# the stem ('conv1'/'conv1_s2d' at the tree root) intentionally stays fp.
+_CONV_NAMES = ("conv1", "conv2", "conv3", "downsample_conv")
+
+
+def quantize_backbone_params(backbone_params: Dict, calib: Dict) -> Dict:
+    """Rewrite a (fold_bn-folded) fp backbone param tree into its int8 twin.
+
+    Only convs inside `layer*` (Bottleneck) subtrees are rewritten — the
+    stem conv and all FrozenBN biases pass through unchanged. `calib`
+    mirrors the module structure with `<conv name>_in` absmax leaves, as
+    produced by ResNet(sow_absmax=True) under mutable=['calib']
+    (nn/resnet.py)."""
+
+    def rewrite_block(tree: Dict, calib_tree: Dict) -> Dict:
+        out = {}
+        for name, sub in tree.items():
+            if name in _CONV_NAMES and isinstance(sub, dict) \
+                    and "kernel" in sub:
+                absmax = calib_tree[f"{name}_in"]
+                absmax = float(np.max(np.asarray(absmax)))
+                out[name] = quantize_conv_kernel(sub["kernel"], absmax)
+            else:
+                out[name] = sub
+        return out
+
+    return {
+        name: (rewrite_block(sub, calib.get(name, {}))
+               if name.startswith("layer") and isinstance(sub, dict)
+               else sub)
+        for name, sub in backbone_params.items()
+    }
+
+
+def calibrate_and_quantize(cfg, params: Dict, loader, mesh=None,
+                           n_batches: int = 4, print_fn=print) -> Dict:
+    """Eval-time PTQ: run `n_batches` through the fp model recording
+    per-conv input absmax, then rewrite the backbone params for
+    RefTR(quantize_int8=True).
+
+    `cfg` is the full RefTRConfig with quantize_int8 OFF (the fp twin);
+    `loader` yields (batch, targets) like the eval loaders."""
+    import dataclasses as _dc
+
+    import jax
+
+    from reftr_tpu.models.build import build_model
+    from reftr_tpu.parallel.context import use_mesh
+
+    calib_cfg = _dc.replace(
+        cfg, model=_dc.replace(cfg.model, quantize_int8=False,
+                               quant_calibrate=True))
+    calib_model, _ = build_model(calib_cfg)
+
+    @jax.jit
+    def calib_step(p, batch):
+        with use_mesh(mesh):
+            _, var = calib_model.apply({"params": p}, batch,
+                                       deterministic=True,
+                                       mutable=["calib"])
+        return var["calib"]
+
+    absmax = None
+    for i, (batch, _targets) in enumerate(loader):
+        if i >= n_batches:
+            break
+        c = jax.device_get(calib_step(params, batch))
+        absmax = c if absmax is None else jax.tree_util.tree_map(
+            np.maximum, absmax, c)
+    if absmax is None:
+        raise ValueError("calibration loader yielded no batches")
+    print_fn(f"int8 PTQ: calibrated on {min(i + 1, n_batches)} batches; "
+             "quantizing backbone convs")
+    out = dict(params)
+    out["img_backbone"] = quantize_backbone_params(
+        out["img_backbone"], absmax["img_backbone"])
+    return out

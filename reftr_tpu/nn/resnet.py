@@ -66,8 +66,21 @@ class FrozenBatchNorm(nn.Module):
 
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
-          dtype: Any = jnp.float32, name: str | None = None) -> nn.Conv:
+          dtype: Any = jnp.float32, name: str | None = None,
+          quantize: bool = False) -> nn.Module:
     pad = dilation * (kernel - 1) // 2
+    if quantize:
+        from reftr_tpu.nn.quant import QuantConv
+
+        return QuantConv(
+            features,
+            (kernel, kernel),
+            strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(dilation, dilation),
+            dtype=dtype,
+            name=name,
+        )
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -97,27 +110,45 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     fold_bn: bool = False
     pad_width: int = 0
+    # int8 serving path (nn/quant.py): convs run on the int8 MXU,
+    # activations stay in compute dtype between them. sow_absmax records
+    # per-conv input absmax into the 'calib' collection (fp calibration
+    # pass) for quantize_backbone_params.
+    quantize: bool = False
+    sow_absmax: bool = False
+
+    def _calib(self, name: str, x: jnp.ndarray) -> None:
+        if self.sow_absmax:
+            self.sow("calib", name, jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0),
+                     reduce_fn=jnp.maximum)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.width * 4
         inner = max(self.width, self.pad_width)
         fold = self.fold_bn
+        q = self.quantize
         identity = x
-        y = _conv(inner, 1, dtype=self.dtype, name="conv1")(x)
+        self._calib("conv1_in", x)
+        y = _conv(inner, 1, dtype=self.dtype, name="conv1", quantize=q)(x)
         y = FrozenBatchNorm(inner, dtype=self.dtype, name="bn1",
                             folded=fold)(y)
         y = nn.relu(y)
-        y = _conv(inner, 3, self.stride, self.dilation, self.dtype, "conv2")(y)
+        self._calib("conv2_in", y)
+        y = _conv(inner, 3, self.stride, self.dilation, self.dtype, "conv2",
+                  quantize=q)(y)
         y = FrozenBatchNorm(inner, dtype=self.dtype, name="bn2",
                             folded=fold)(y)
         y = nn.relu(y)
-        y = _conv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
+        self._calib("conv3_in", y)
+        y = _conv(out_ch, 1, dtype=self.dtype, name="conv3", quantize=q)(y)
         y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3",
                             folded=fold)(y)
         if self.downsample:
+            self._calib("downsample_conv_in", x)
             identity = _conv(out_ch, 1, self.stride, dtype=self.dtype,
-                             name="downsample_conv")(x)
+                             name="downsample_conv", quantize=q)(x)
             identity = FrozenBatchNorm(out_ch, dtype=self.dtype,
                                        name="downsample_bn",
                                        folded=fold)(identity)
@@ -151,9 +182,20 @@ class ResNet(nn.Module):
     # backbone's fwd+bwd in stem+layer1, so (1,) is the targeted variant.
     remat_blocks: bool = False
     remat_stages: Tuple[int, ...] = ()
+    # int8 PTQ serving path (nn/quant.py); requires fold_bn so the BN scale
+    # lives in the conv kernel where per-channel weight quantization
+    # absorbs it. Bottleneck convs only — the stem stays fp (3/12 input
+    # channels underfill the MXU's contraction lanes either way, and under
+    # fold_normalize its input is raw uint8 whose scale the calibration
+    # would waste a bit on). sow_absmax = fp calibration pass
+    # (mutable=['calib']).
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        assert not (self.quantize and not self.fold_bn), \
+            "quantize=True requires fold_bn (BN scale must be in the kernel)"
         blocks = RESNET_LAYERS[self.name_or_depth]
         x = x.astype(self.dtype)
         if self.space_to_depth:
@@ -199,6 +241,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     fold_bn=self.fold_bn,
                     pad_width=self.min_inner_width,
+                    quantize=self.quantize,
+                    sow_absmax=self.sow_absmax,
                     name=f"layer{stage}_{b}",
                 )(x)
             feats.append(x)

@@ -157,7 +157,22 @@ def run_training(cfg: RefTRConfig) -> Dict:
     steps_per_epoch = len(train_loader)
     master_print(f"Steps per training epoch: {steps_per_epoch}")
 
-    model, wdict = build_model(cfg)
+    # int8 PTQ (nn/quant.py) applies AFTER fp load+folds+calibration, so
+    # everything up to eval runs on the fp twin of the config.
+    import dataclasses as _dc
+
+    if cfg.model.quantize_int8:
+        if not cfg.train.eval_only:
+            raise ValueError(
+                "--quantize_int8 is a serving/eval optimization (PTQ needs "
+                "frozen weights); train without it, then --eval")
+        if not cfg.model.fold_bn:
+            raise ValueError("--quantize_int8 requires --fold_bn (the BN "
+                             "scale must fold into the conv kernel)")
+    fp_cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                quantize_int8=False))
+
+    model, wdict = build_model(fp_cfg)
     mesh = create_mesh(cfg.mesh)
     world = mesh.shape["data"]
 
@@ -180,13 +195,11 @@ def run_training(cfg: RefTRConfig) -> Dict:
         # or (with fold_normalize especially) a standard-scale random stem
         # kernel would see raw 0..255 inputs and training stalls. Pretrained
         # loads below overwrite this with the fold of the checkpoint.
-        import dataclasses as _dc
-
         from reftr_tpu.nn.fold import optimize_backbone_in_tree
 
         base_model, _ = build_model(_dc.replace(
-            cfg, model=_dc.replace(
-                cfg.model, space_to_depth_stem=False, fold_bn=False,
+            fp_cfg, model=_dc.replace(
+                fp_cfg.model, space_to_depth_stem=False, fold_bn=False,
                 fold_normalize=False, backbone_pad_width=0)))
         params = base_model.init(rng, sample_batch)["params"]
         params = optimize_backbone_in_tree(params, cfg.model)
@@ -283,6 +296,18 @@ def run_training(cfg: RefTRConfig) -> Dict:
         state = shard_state(state, mesh)
 
         if cfg.train.eval_only:
+            if cfg.model.quantize_int8:
+                from reftr_tpu.nn.quant import calibrate_and_quantize
+
+                state = state.replace(params=calibrate_and_quantize(
+                    fp_cfg, state.params,
+                    next(iter(test_loaders.values())), mesh=mesh,
+                    n_batches=cfg.train.quant_calib_batches,
+                    print_fn=master_print))
+                qmodel, _ = build_model(cfg)
+                eval_step = make_eval_step(
+                    qmodel, wdict, cfg.loss, world_size=world,
+                    with_masks=cfg.model.masks, mesh=mesh)
             return {"test": run_eval(state.params)}
 
         end_epoch = min(cfg.train.epochs, start_epoch + cfg.train.run_epoch)

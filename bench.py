@@ -129,26 +129,46 @@ def bench_rec(batch_size=64, fold_normalize=False, quantize=False):
     }
 
 
-def bench_seg(batch_size=32, fold_normalize=False):
+def bench_seg(batch_size=32, fold_normalize=False, quantize=False):
+    import dataclasses as dc
+
     import jax
 
     from reftr_tpu.core.config import ModelConfig, RefTRConfig
     from reftr_tpu.models import build_model
 
-    cfg = RefTRConfig(model=ModelConfig(
-        dtype="bfloat16", aux_loss=False, masks=True,
-        fold_bn=fold_normalize, fold_normalize=fold_normalize))
+    mc = ModelConfig(dtype="bfloat16", aux_loss=False, masks=True,
+                     fold_bn=fold_normalize or quantize,
+                     fold_normalize=fold_normalize)
+    cfg = RefTRConfig(model=mc)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = make_batch(rng, batch_size, cfg.data.img_size,
                        cfg.data.max_query_len, cfg.model.bert.vocab_size,
-                       uint8=fold_normalize)
+                       uint8=fold_normalize or quantize)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     batch = jax.device_put(batch)
+    if quantize:
+        from reftr_tpu.nn.quant import quantize_backbone_params
+
+        calib_model, _ = build_model(RefTRConfig(model=dc.replace(
+            mc, quant_calibrate=True)))
+        _, var = jax.jit(lambda p, b: calib_model.apply(
+            p, b, mutable=["calib"]))(params, batch)
+        qtree = quantize_backbone_params(
+            jax.device_get(params["params"]["img_backbone"]),
+            jax.device_get(var["calib"]["img_backbone"]))
+        params = {"params": dict(params["params"], img_backbone=qtree)}
+        model, _ = build_model(RefTRConfig(model=dc.replace(
+            mc, quantize_int8=True)))
     ips = measure_eval(model, params, batch, batch_size)
+    name = "seg_inference"
+    if quantize:
+        name = "seg_inference_int8"
+    elif fold_normalize:
+        name = "seg_inference_fn"
     return {
-        "metric": ("seg_inference_fn" if fold_normalize
-                   else "seg_inference") + "_images_per_sec_per_chip",
+        "metric": name + "_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_PYTORCH_SEG_BASELINE_IMG_PER_SEC, 3),
@@ -240,6 +260,15 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     mode = sys.argv[1] if len(sys.argv) > 1 else "rec"
+    if len(sys.argv) > 2:
+        # optional batch-size override, e.g. `python bench.py rec_int8 128`
+        b = int(sys.argv[2])
+        import functools
+
+        global bench_rec, bench_seg, bench_train
+        bench_rec = functools.partial(bench_rec, batch_size=b)
+        bench_seg = functools.partial(bench_seg, batch_size=b)
+        bench_train = functools.partial(bench_train, batch_size=b)
     if mode == "rec":
         # driver contract: the production serving config (fold_bn +
         # fold_normalize, exact reparameterizations — PERFORMANCE.md r3)
@@ -279,6 +308,8 @@ def main():
         out = bench_rec(fold_normalize=True)
     elif mode == "seg_fn":
         out = bench_seg(fold_normalize=True)
+    elif mode == "seg_int8":
+        out = bench_seg(fold_normalize=True, quantize=True)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))

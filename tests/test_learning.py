@@ -32,7 +32,42 @@ from reftr_tpu.train.state import TrainState
 from reftr_tpu.train.steps import make_eval_step, make_train_step
 
 
-def _train_to_accuracy(dataset, reftr_type, epochs, target=0.9):
+def _accuracy(model, params, batches, wd, lc):
+    eval_step = make_eval_step(model, wd, lc, world_size=1)
+    sums = {"sum_accu": 0.0, "cnt": 0.0}
+    for b, t in batches:
+        _, _, s = eval_step(params, b, dict(t))
+        for k in sums:
+            sums[k] += float(s[k])
+    return sums["sum_accu"] / sums["cnt"]
+
+
+def _int8_accuracy(mc, lc, wd, state, batches):
+    """Serving flow on the trained state: fold BN -> calibrate -> int8.
+
+    Exercises the QuantConv x DC5-dilation composition (mc.dilation=True)
+    on a CONVERGED model — the strongest available accuracy evidence for
+    --quantize_int8 without real data."""
+    import dataclasses as dc
+
+    from reftr_tpu.nn.fold import optimize_resnet_params
+    from reftr_tpu.nn.quant import quantize_backbone_params
+
+    params = jax.device_get(state.params)
+    params = dict(params, img_backbone=optimize_resnet_params(
+        params["img_backbone"], fold_bn=True))
+    mc_fold = dc.replace(mc, fold_bn=True)
+    calib_model = RefTR(dc.replace(mc_fold, quant_calibrate=True))
+    _, var = calib_model.apply({"params": params}, batches[0][0],
+                               deterministic=True, mutable=["calib"])
+    qparams = dict(params, img_backbone=quantize_backbone_params(
+        params["img_backbone"], jax.device_get(var["calib"])["img_backbone"]))
+    qmodel = RefTR(dc.replace(mc_fold, quantize_int8=True))
+    return _accuracy(qmodel, qparams, batches, wd, lc)
+
+
+def _train_to_accuracy(dataset, reftr_type, epochs, target=0.9,
+                       check_int8=False):
     loader = DataLoader(dataset, 32, num_workers=2)
     mc = ModelConfig(reftr_type=reftr_type, enc_layers=1, dec_layers=1,
                      dim_feedforward=64, hidden_dim=32, nheads=4,
@@ -65,7 +100,12 @@ def _train_to_accuracy(dataset, reftr_type, epochs, target=0.9):
                     sums[k] += float(s[k])
             best = max(best, sums["sum_accu"] / sums["cnt"])
             if best >= target:
-                return best
+                break
+    if check_int8 and best >= target:
+        acc8 = _int8_accuracy(mc, lc, wd, state, batches)
+        assert acc8 >= best - 0.05, (
+            f"int8 PTQ accuracy {acc8:.3f} vs fp {best:.3f}: quantization "
+            "cost more than 5 points on a converged model")
     return best
 
 
@@ -79,7 +119,8 @@ def synth_tok():
 def test_single_phrase_learns_to_90pct(synth_tok):
     ds = SyntheticGroundingDataset(synth_tok, n=64, img_size=64,
                                    max_query_len=12, box_frac=(0.25, 0.5))
-    acc = _train_to_accuracy(ds, "transformer_single_phrase", epochs=100)
+    acc = _train_to_accuracy(ds, "transformer_single_phrase", epochs=100,
+                             check_int8=True)
     assert acc >= 0.9, f"accuracy_iou0.5 only reached {acc:.3f}"
 
 

@@ -11,6 +11,7 @@ Modes (argv[1]):
                  160x160, reference reftr_segmentation.py:152-280)
   train        : full fused train step (fwd+bwd+clip+AdamW, aux loss on)
   train_opt    : train with --space_to_depth_stem --fold_bn
+  latency      : p50/p90 per-image serving latency at B=1 (BASELINE.md)
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
 below is our recorded estimate of the PyTorch reference's per-GPU A100
@@ -81,7 +82,8 @@ def measure_eval(model, params, batch, batch_size, steps=STEPS):
     return batch_size * steps / dt
 
 
-def bench_rec(batch_size=64, fold_normalize=False, quantize=False):
+def bench_rec(batch_size=64, fold_normalize=False, quantize=False,
+              quantize_scope=("backbone",)):
     import dataclasses as dc
 
     import jax
@@ -91,7 +93,8 @@ def bench_rec(batch_size=64, fold_normalize=False, quantize=False):
 
     mc = ModelConfig(dtype="bfloat16", aux_loss=False,
                      fold_bn=fold_normalize or quantize,
-                     fold_normalize=fold_normalize)
+                     fold_normalize=fold_normalize,
+                     quantize_scope=tuple(quantize_scope))
     cfg = RefTRConfig(model=mc)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -102,23 +105,29 @@ def bench_rec(batch_size=64, fold_normalize=False, quantize=False):
     batch = jax.device_put(batch)
     if quantize:
         # int8 PTQ serving path (nn/quant.py): calibrate input scales on
-        # one batch, rewrite the backbone convs, serve the int8 model
-        from reftr_tpu.nn.quant import quantize_backbone_params
+        # one batch, rewrite the backbone convs + transformer denses,
+        # serve the int8 model
+        from reftr_tpu.nn.quant import quantize_params
 
         calib_model, _ = build_model(RefTRConfig(model=dc.replace(
             mc, quant_calibrate=True)))
         _, var = jax.jit(lambda p, b: calib_model.apply(
             p, b, mutable=["calib"]))(params, batch)
-        qtree = quantize_backbone_params(
-            jax.device_get(params["params"]["img_backbone"]),
-            jax.device_get(var["calib"]["img_backbone"]))
-        params = {"params": dict(params["params"], img_backbone=qtree)}
+        qtree = quantize_params(jax.device_get(params["params"]),
+                                jax.device_get(var["calib"]),
+                                scope=mc.quantize_scope)
+        # device-commit: numpy leaves in jit args are re-serialized by the
+        # axon tunnel on every dispatch (PERFORMANCE.md round 3)
+        params = jax.device_put({"params": qtree})
         model, _ = build_model(RefTRConfig(model=dc.replace(
             mc, quantize_int8=True)))
     ips = measure_eval(model, params, batch, batch_size)
     name = "inference"
     if quantize:
         name = "inference_int8"
+        if len(quantize_scope) > 1:
+            name = "inference_int8_" + "_".join(
+                k for k in quantize_scope if k != "backbone")
     elif fold_normalize:
         name = "inference_fn"
     return {
@@ -126,6 +135,56 @@ def bench_rec(batch_size=64, fold_normalize=False, quantize=False):
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
+    }
+
+
+def bench_latency(batch_size=1, fold_normalize=True, steps=50):
+    """p50 per-image latency (BASELINE.md target): single-request eval
+    forward, timed per call with a host fetch. Over the axon tunnel this
+    includes ~10 ms of dispatch RTT (PERFORMANCE.md); on-device compute is
+    ~1-2 ms at B=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from reftr_tpu.core.config import ModelConfig, RefTRConfig
+    from reftr_tpu.models import build_model
+
+    mc = ModelConfig(dtype="bfloat16", aux_loss=False,
+                     fold_bn=fold_normalize, fold_normalize=fold_normalize)
+    cfg = RefTRConfig(model=mc)
+    model, _ = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, batch_size, cfg.data.img_size,
+                       cfg.data.max_query_len, cfg.model.bert.vocab_size,
+                       uint8=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    batch = jax.device_put(batch)
+
+    @jax.jit
+    def fwd(params, batch, step):
+        img = ((batch["image"].astype(jnp.int32) + step) % 256
+               ).astype(jnp.uint8)
+        return model.apply(params, dict(batch, image=img))["pred_boxes"]
+
+    for i in range(WARMUP + 1):
+        np.asarray(fwd(params, batch, jnp.asarray(i)))
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        np.asarray(fwd(params, batch, jnp.asarray(100 + i)))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50)) * 1e3 / batch_size
+    p90 = float(np.percentile(times, 90)) * 1e3 / batch_size
+    return {
+        "metric": f"p50_latency_ms_per_image_b{batch_size}",
+        "value": round(p50, 3),
+        "unit": "ms",
+        # ratio vs the same assumed A100 reference as the throughput modes,
+        # expressed as latency at its B=1 dispatch floor (~1000/85 ms);
+        # >1 means we are faster. Replace when a measured number exists.
+        "vs_baseline": round((1000.0 / A100_PYTORCH_BASELINE_IMG_PER_SEC)
+                             / max(p50, 1e-9), 3),
+        "p90_ms": round(p90, 3),
     }
 
 
@@ -149,16 +208,18 @@ def bench_seg(batch_size=32, fold_normalize=False, quantize=False):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     batch = jax.device_put(batch)
     if quantize:
-        from reftr_tpu.nn.quant import quantize_backbone_params
+        from reftr_tpu.nn.quant import quantize_params
 
         calib_model, _ = build_model(RefTRConfig(model=dc.replace(
             mc, quant_calibrate=True)))
         _, var = jax.jit(lambda p, b: calib_model.apply(
             p, b, mutable=["calib"]))(params, batch)
-        qtree = quantize_backbone_params(
-            jax.device_get(params["params"]["img_backbone"]),
-            jax.device_get(var["calib"]["img_backbone"]))
-        params = {"params": dict(params["params"], img_backbone=qtree)}
+        qtree = quantize_params(jax.device_get(params["params"]),
+                                jax.device_get(var["calib"]),
+                                scope=mc.quantize_scope)
+        # device-commit: numpy leaves in jit args are re-serialized by the
+        # axon tunnel on every dispatch (PERFORMANCE.md round 3)
+        params = jax.device_put({"params": qtree})
         model, _ = build_model(RefTRConfig(model=dc.replace(
             mc, quantize_int8=True)))
     ips = measure_eval(model, params, batch, batch_size)
@@ -265,10 +326,11 @@ def main():
         b = int(sys.argv[2])
         import functools
 
-        global bench_rec, bench_seg, bench_train
+        global bench_rec, bench_seg, bench_train, bench_latency
         bench_rec = functools.partial(bench_rec, batch_size=b)
         bench_seg = functools.partial(bench_seg, batch_size=b)
         bench_train = functools.partial(bench_train, batch_size=b)
+        bench_latency = functools.partial(bench_latency, batch_size=b)
     if mode == "rec":
         # driver contract: the production serving config (fold_bn +
         # fold_normalize, exact reparameterizations — PERFORMANCE.md r3)
@@ -285,6 +347,13 @@ def main():
     elif mode == "train_u8":
         # production input path: uint8 canvases, /255+normalize on device
         out = bench_train(optimized=True, uint8=True)
+    elif mode == "train_rbg":
+        # XLA-native RBG PRNG for the non-Pallas dropouts (threefry is
+        # serial bit-twiddling on the VPU; rbg lowers to the TPU's native
+        # RNG instruction). The big attention dropout is already in-kernel.
+        jax.config.update("jax_default_prng_impl", "rbg")
+        out = bench_train(optimized=True, uint8=True)
+        out["metric"] = out["metric"].replace("train_u8", "train_rbg")
     elif mode == "train_fn":
         # normalize folded into the stem weights (--fold_normalize)
         out = bench_train(optimized=True, fold_normalize=True)
@@ -302,6 +371,10 @@ def main():
     elif mode == "rec_int8":
         # + int8 PTQ of the backbone bottleneck convs (--quantize_int8)
         out = bench_rec(fold_normalize=True, quantize=True)
+    elif mode == "rec_int8_full":
+        # int8 PTQ of backbone + BERT + VL transformer (quantize_scope)
+        out = bench_rec(fold_normalize=True, quantize=True,
+                        quantize_scope=("backbone", "bert", "vl"))
     elif mode == "rec_fn":
         # serving path with normalize folded into the stem (no s2d: the
         # s2d stem is a training-only win, PERFORMANCE.md)
@@ -310,6 +383,10 @@ def main():
         out = bench_seg(fold_normalize=True)
     elif mode == "seg_int8":
         out = bench_seg(fold_normalize=True, quantize=True)
+    elif mode == "latency":
+        # p50/p90 per-image serving latency at B=1 (BASELINE.md target);
+        # `python bench.py latency 8` measures per-image latency at B=8
+        out = bench_latency()
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))

@@ -130,11 +130,16 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="zero-pad bottleneck inner widths below this to it"
                         " (exact; fills MXU lanes at layer1)")
     p.add_argument("--quantize_int8", action="store_true",
-                   help="int8 PTQ of the backbone bottleneck convs for"
+                   help="int8 PTQ of the backbone bottleneck convs and the"
+                        " BERT/VL-transformer projections+FFNs for"
                         " --eval/serving (2x MXU peak; requires --fold_bn;"
                         " calibrates input scales on the first eval batches)")
     p.add_argument("--quant_calib_batches", default=4, type=int,
                    help="eval batches used to calibrate int8 input scales")
+    p.add_argument("--quantize_scope", default=["backbone", "bert", "vl"],
+                   nargs="+", choices=["backbone", "bert", "vl"],
+                   help="which components --quantize_int8 lowers to int8"
+                        " (vl = VL encoder/decoder projections+FFNs)")
     p.add_argument("--backbone_remat", action="store_true",
                    help="jax.checkpoint each backbone bottleneck (trade"
                         " recompute FLOPs for HBM activation traffic)")
@@ -197,6 +202,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.backbone_remat = args.backbone_remat
     m.backbone_remat_stages = tuple(args.backbone_remat_stages)
     m.quantize_int8 = args.quantize_int8
+    m.quantize_scope = tuple(args.quantize_scope)
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef

@@ -125,6 +125,11 @@ class ModelConfig:
     # mutable=['calib']); never set it from the CLI.
     quantize_int8: bool = False
     quant_calibrate: bool = False
+    # which components run int8: any subset of {"backbone", "bert", "vl"}
+    # ("vl" = the VL encoder/decoder projections+FFNs). Full scope is the
+    # measured-fastest (1082 img/s vs 1067 backbone-only, PERFORMANCE.md
+    # round 3); accuracy is gated per-scope by tests/test_quantize.py.
+    quantize_scope: Tuple[str, ...] = ("backbone", "bert", "vl")
 
     @property
     def use_decoder(self) -> bool:

@@ -97,10 +97,14 @@ class RefTR(nn.Module):
             min_inner_width=mc.backbone_pad_width,
             remat_blocks=mc.backbone_remat,
             remat_stages=tuple(mc.backbone_remat_stages),
-            quantize=mc.quantize_int8, sow_absmax=mc.quant_calibrate,
+            quantize=mc.quantize_int8 and "backbone" in mc.quantize_scope,
+            sow_absmax=mc.quant_calibrate,
             name="img_backbone")
-        self.lang_backbone = BertModel(mc.bert, dtype=dtype,
-                                       name="lang_backbone")
+        self.lang_backbone = BertModel(
+            mc.bert, dtype=dtype,
+            quantize=mc.quantize_int8 and "bert" in mc.quantize_scope,
+            sow_absmax=mc.quant_calibrate,
+            name="lang_backbone")
         self.map_sentence = MLPMapping(mc.hidden_dim, mc.dropout, dtype=dtype,
                                        name="map_sentence")
         self.vl_transformer = VLTransformer(
@@ -112,6 +116,8 @@ class RefTR(nn.Module):
             num_feature_levels=mc.num_feature_levels,
             return_intermediate_dec=True, max_lang_seq=mc.max_lang_seq,
             dtype=dtype, use_pallas=mc.use_pallas_attention, remat=mc.remat,
+            quantize=mc.quantize_int8 and "vl" in mc.quantize_scope,
+            sow_absmax=mc.quant_calibrate,
             name="vl_transformer")
         if self.vl_transformer.use_decoder:
             self.map_phrase = MLPMapping(mc.hidden_dim, mc.dropout,

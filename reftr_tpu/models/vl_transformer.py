@@ -37,6 +37,9 @@ class VLTransformer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Any = None  # None = auto (see nn.attention)
     remat: bool = False
+    # int8 serving path for projections/FFNs (nn/quant.py)
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @property
     def use_decoder(self) -> bool:
@@ -58,13 +61,15 @@ class VLTransformer(nn.Module):
             self.num_encoder_layers, self.d_model, self.nhead,
             self.dim_feedforward, self.dropout, self.activation,
             self.normalize_before, self.dtype, self.use_pallas, self.remat,
+            quantize=self.quantize, sow_absmax=self.sow_absmax,
             name="encoder")
         if self.use_decoder:
             self.decoder = TransformerDecoder(
                 self.num_decoder_layers, self.d_model, self.nhead,
                 self.dim_feedforward, self.dropout, self.activation,
                 self.normalize_before, self.return_intermediate_dec,
-                self.dtype, self.use_pallas, name="decoder")
+                self.dtype, self.use_pallas, quantize=self.quantize,
+                sow_absmax=self.sow_absmax, name="decoder")
 
     def process_img_feat(
         self,

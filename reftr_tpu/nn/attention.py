@@ -39,6 +39,10 @@ class MultiHeadAttention(nn.Module):
     # sequences, where it measures 1.6-2x faster than XLA attention; XLA
     # otherwise — see PERFORMANCE.md)
     use_pallas: Any = None
+    # int8 serving path for the q/k/v/out projections (nn/quant.py);
+    # sow_absmax records per-projection input absmax for calibration
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(
@@ -58,9 +62,21 @@ class MultiHeadAttention(nn.Module):
         dh = d // h
         assert d % h == 0, "d_model must be divisible by num_heads"
 
-        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name,
-                                      kernel_init=nn.initializers.xavier_uniform(),
-                                      bias_init=nn.initializers.zeros)
+        if self.quantize:
+            from reftr_tpu.nn.quant import QuantDense
+
+            dense = lambda name: QuantDense(d, dtype=self.dtype, name=name)
+        else:
+            dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name,
+                                          kernel_init=nn.initializers.xavier_uniform(),
+                                          bias_init=nn.initializers.zeros)
+        if self.sow_absmax:
+            for nm, x in (("q_proj", query), ("k_proj", key),
+                          ("v_proj", value)):
+                self.sow("calib", f"{nm}_in",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))),
+                         init_fn=lambda: jnp.float32(0),
+                         reduce_fn=jnp.maximum)
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
@@ -139,4 +155,9 @@ class MultiHeadAttention(nn.Module):
             ).astype(self.dtype)
 
         out = out.reshape(b, sq, d)
+        if self.sow_absmax:
+            self.sow("calib", "out_proj_in",
+                     jnp.max(jnp.abs(out.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0),
+                     reduce_fn=jnp.maximum)
         return dense("out_proj")(out)

@@ -58,6 +58,15 @@ class BertEmbeddings(nn.Module):
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    # int8 serving path (nn/quant.py): attention projections and FFN run
+    # on the int8 MXU; sow_absmax is the fp calibration pass
+    quantize: bool = False
+    sow_absmax: bool = False
+
+    def _calib(self, name: str, x):
+        if self.sow_absmax:
+            self.sow("calib", name, jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0), reduce_fn=jnp.maximum)
 
     @nn.compact
     def __call__(self, x, valid_mask=None, deterministic=True):
@@ -65,18 +74,25 @@ class BertLayer(nn.Module):
         attn_out = MultiHeadAttention(
             c.hidden_size, c.num_attention_heads, c.attention_dropout,
             dtype=self.dtype, name="attention",
+            quantize=self.quantize, sow_absmax=self.sow_absmax,
         )(x, x, x, valid_mask, deterministic)
         attn_out = nn.Dropout(rate=c.hidden_dropout,
                               deterministic=deterministic)(attn_out)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="attention_norm")(x + attn_out)
-        y = nn.Dense(c.intermediate_size, dtype=self.dtype,
-                     kernel_init=nn.initializers.normal(0.02),
-                     name="intermediate")(x)
+        if self.quantize:
+            from reftr_tpu.nn.quant import QuantDense
+
+            dense = lambda f, name: QuantDense(f, dtype=self.dtype, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(
+                f, dtype=self.dtype,
+                kernel_init=nn.initializers.normal(0.02), name=name)
+        self._calib("intermediate_in", x)
+        y = dense(c.intermediate_size, "intermediate")(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(c.hidden_size, dtype=self.dtype,
-                     kernel_init=nn.initializers.normal(0.02),
-                     name="output")(y)
+        self._calib("output_in", y)
+        y = dense(c.hidden_size, "output")(y)
         y = nn.Dropout(rate=c.hidden_dropout, deterministic=deterministic)(y)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(x + y)
@@ -85,6 +101,8 @@ class BertLayer(nn.Module):
 class BertModel(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(
@@ -102,7 +120,9 @@ class BertModel(nn.Module):
         x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
             input_ids, token_type_ids, deterministic)
         for i in range(c.num_hidden_layers):
-            x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+            x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}",
+                          quantize=self.quantize,
+                          sow_absmax=self.sow_absmax)(
                 x, valid, deterministic)
         pooled = nn.Dense(c.hidden_size, dtype=self.dtype,
                           kernel_init=nn.initializers.normal(0.02),

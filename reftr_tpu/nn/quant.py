@@ -72,6 +72,65 @@ class QuantConv(nn.Module):
         return (y.astype(jnp.float32) * scale).astype(self.dtype)
 
 
+class QuantDense(nn.Module):
+    """Drop-in for nn.Dense running the int8 MXU path (serving only).
+
+    Same scheme as QuantConv: per-output-channel weight scales, a static
+    per-tensor input scale calibrated from eval batches, symmetric and
+    zero-point free. The bias stays fp and is added after dequantization.
+    Used for the BERT and VL-encoder projections/FFNs when
+    --quantize_int8 is on (the lang+VL stack is ~38% of serving device
+    time once the backbone is int8 — PERFORMANCE.md round 3).
+
+    Transformer PTQ caveat: absmax activation calibration is sensitive to
+    outlier channels (post-LayerNorm/GELU activations); accuracy is gated
+    by tests/test_quantize.py and the trained-model e2e eval check.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        din = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (din, self.features), jnp.int8)
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        in_scale = self.param("in_scale", nn.initializers.ones,
+                              (), jnp.float32)
+        inv = 1.0 / in_scale
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                      -QMAX, QMAX).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (w_scale * in_scale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias
+        return out.astype(self.dtype)
+
+
+def quantize_dense_kernel(kernel: jnp.ndarray, bias, in_absmax: float) -> Dict:
+    """fp Dense params + calibrated input absmax -> QuantDense params."""
+    k = np.asarray(kernel, np.float32)
+    w_absmax = np.abs(k).max(axis=0)
+    w_scale = np.maximum(w_absmax, 1e-12) / QMAX
+    kq = np.clip(np.round(k / w_scale), -QMAX, QMAX).astype(np.int8)
+    out = {
+        "kernel_q": jnp.asarray(kq),
+        "w_scale": jnp.asarray(w_scale),
+        "in_scale": jnp.asarray(np.float32(max(float(in_absmax), 1e-12)
+                                           / QMAX)),
+    }
+    if bias is not None:
+        out["bias"] = jnp.asarray(np.asarray(bias, np.float32))
+    return out
+
+
 def quantize_conv_kernel(kernel: jnp.ndarray, in_absmax: float) -> Dict:
     """fp kernel [kh,kw,cin,cout] + calibrated input absmax -> QuantConv params.
 
@@ -125,6 +184,35 @@ def quantize_backbone_params(backbone_params: Dict, calib: Dict) -> Dict:
     }
 
 
+def quantize_dense_params(tree: Dict, calib: Dict) -> Dict:
+    """Rewrite every fp Dense subtree that has a calibrated twin.
+
+    Walks `tree` and `calib` in lockstep; a child named `n` with a
+    `kernel` leaf is rewritten to QuantDense params iff the calib level
+    holds an `{n}_in` absmax (sown by the module's fp calibration pass).
+    Everything else (LayerNorms, embeddings, un-calibrated denses like the
+    BERT pooler) passes through unchanged."""
+
+    def walk(t, c):
+        if not isinstance(t, dict):
+            return t
+        out = {}
+        for name, sub in t.items():
+            if (isinstance(sub, dict) and "kernel" in sub
+                    and f"{name}_in" in c):
+                absmax = float(np.max(np.asarray(c[f"{name}_in"])))
+                out[name] = quantize_dense_kernel(
+                    sub["kernel"], sub.get("bias"), absmax)
+            elif isinstance(sub, dict):
+                out[name] = walk(sub, c.get(name, {})
+                                 if isinstance(c, dict) else {})
+            else:
+                out[name] = sub
+        return out
+
+    return walk(tree, calib)
+
+
 def calibrate_and_quantize(cfg, params: Dict, loader, mesh=None,
                            n_batches: int = 4, print_fn=print) -> Dict:
     """Eval-time PTQ: run `n_batches` through the fp model recording
@@ -164,7 +252,34 @@ def calibrate_and_quantize(cfg, params: Dict, loader, mesh=None,
         raise ValueError("calibration loader yielded no batches")
     print_fn(f"int8 PTQ: calibrated on {min(i + 1, n_batches)} batches; "
              "quantizing backbone convs")
+    out = quantize_params(params, absmax, scope=cfg.model.quantize_scope)
+    # Re-commit the rewritten tree to the device(s). quantize_params works
+    # on host arrays, and leaving numpy leaves in a jit argument tree makes
+    # the axon tunnel re-serialize them on EVERY dispatch (measured: the
+    # full-scope int8 model served at 24 img/s with numpy leaves vs fp-level
+    # dispatch cost once device-resident — PERFORMANCE.md round 3).
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # eval-time PTQ replicates params over the mesh (DP eval; int8
+        # eval under TP-sharded params is unsupported)
+        out = jax.device_put(out, NamedSharding(mesh, PartitionSpec()))
+    else:
+        out = jax.device_put(out)
+    return out
+
+
+def quantize_params(params: Dict, calib: Dict,
+                    scope=("backbone",)) -> Dict:
+    """fp->int8 param rewrite from a calibrated absmax tree, for the
+    components named in `scope` ("backbone" = bottleneck convs; "bert" /
+    "vl" = every projection/FFN dense with a calibrated twin). Must match
+    the model's ModelConfig.quantize_scope."""
     out = dict(params)
-    out["img_backbone"] = quantize_backbone_params(
-        out["img_backbone"], absmax["img_backbone"])
+    if "backbone" in scope:
+        out["img_backbone"] = quantize_backbone_params(
+            out["img_backbone"], calib["img_backbone"])
+    for key, name in (("bert", "lang_backbone"), ("vl", "vl_transformer")):
+        if key in scope and name in calib and name in out:
+            out[name] = quantize_dense_params(out[name], calib[name])
     return out

@@ -36,16 +36,35 @@ class FFN(nn.Module):
     dropout: float
     activation: str
     dtype: Any
+    # int8 serving path (nn/quant.py); sow_absmax = fp calibration pass
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        init = nn.initializers.xavier_uniform()
-        y = nn.Dense(self.dim_feedforward, dtype=self.dtype, kernel_init=init,
-                     bias_init=nn.initializers.zeros, name="linear1")(x)
+        if self.quantize:
+            from reftr_tpu.nn.quant import QuantDense
+
+            dense = lambda f, name: QuantDense(f, dtype=self.dtype, name=name)
+        else:
+            init = nn.initializers.xavier_uniform()
+            dense = lambda f, name: nn.Dense(
+                f, dtype=self.dtype, kernel_init=init,
+                bias_init=nn.initializers.zeros, name=name)
+
+        def calib(name, v):
+            if self.sow_absmax:
+                self.sow("calib", name,
+                         jnp.max(jnp.abs(v.astype(jnp.float32))),
+                         init_fn=lambda: jnp.float32(0),
+                         reduce_fn=jnp.maximum)
+
+        calib("linear1_in", x)
+        y = dense(self.dim_feedforward, "linear1")(x)
         y = _ACTIVATIONS[self.activation](y)
         y = nn.Dropout(rate=self.dropout, deterministic=deterministic)(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init,
-                     bias_init=nn.initializers.zeros, name="linear2")(y)
+        calib("linear2_in", y)
+        y = dense(self.d_model, "linear2")(y)
         return y
 
 
@@ -58,6 +77,8 @@ class TransformerEncoderLayer(nn.Module):
     normalize_before: bool = False
     dtype: Any = jnp.float32
     use_pallas: Any = None  # None = auto (see nn.attention)
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(
@@ -69,9 +90,12 @@ class TransformerEncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                   dtype=self.dtype, use_pallas=self.use_pallas,
+                                  quantize=self.quantize,
+                                  sow_absmax=self.sow_absmax,
                                   name="self_attn")
         ffn = FFN(self.d_model, self.dim_feedforward, self.dropout,
-                  self.activation, self.dtype, name="ffn")
+                  self.activation, self.dtype, quantize=self.quantize,
+                  sow_absmax=self.sow_absmax, name="ffn")
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         drop = lambda x: nn.Dropout(rate=self.dropout,
@@ -102,6 +126,8 @@ class TransformerEncoder(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: Any = None  # None = auto (see nn.attention)
     remat: bool = False
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(
@@ -119,7 +145,8 @@ class TransformerEncoder(nn.Module):
             out = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
-                self.use_pallas, name=f"layers_{i}",
+                self.use_pallas, quantize=self.quantize,
+                sow_absmax=self.sow_absmax, name=f"layers_{i}",
             )(out, pos, valid_mask, deterministic)
         if self.normalize_before:
             out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
@@ -135,6 +162,8 @@ class TransformerDecoderLayer(nn.Module):
     normalize_before: bool = False
     dtype: Any = jnp.float32
     use_pallas: Any = None  # None = auto (see nn.attention)
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(
@@ -150,13 +179,18 @@ class TransformerDecoderLayer(nn.Module):
         self_attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                        dtype=self.dtype,
                                        use_pallas=self.use_pallas,
+                                       quantize=self.quantize,
+                                       sow_absmax=self.sow_absmax,
                                        name="self_attn")
         cross_attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                         dtype=self.dtype,
                                         use_pallas=self.use_pallas,
+                                        quantize=self.quantize,
+                                        sow_absmax=self.sow_absmax,
                                         name="multihead_attn")
         ffn = FFN(self.d_model, self.dim_feedforward, self.dropout,
-                  self.activation, self.dtype, name="ffn")
+                  self.activation, self.dtype, quantize=self.quantize,
+                  sow_absmax=self.sow_absmax, name="ffn")
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
@@ -199,6 +233,8 @@ class TransformerDecoder(nn.Module):
     return_intermediate: bool = True
     dtype: Any = jnp.float32
     use_pallas: Any = None  # None = auto (see nn.attention)
+    quantize: bool = False
+    sow_absmax: bool = False
 
     @nn.compact
     def __call__(
@@ -218,7 +254,8 @@ class TransformerDecoder(nn.Module):
             out = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
-                self.use_pallas, name=f"layers_{i}",
+                self.use_pallas, quantize=self.quantize,
+                sow_absmax=self.sow_absmax, name=f"layers_{i}",
             )(out, memory, tgt_valid_mask, memory_valid_mask, pos, query_pos,
               deterministic)
             if self.return_intermediate:

@@ -43,15 +43,17 @@ def _accuracy(model, params, batches, wd, lc):
 
 
 def _int8_accuracy(mc, lc, wd, state, batches):
-    """Serving flow on the trained state: fold BN -> calibrate -> int8.
+    """Serving flow on the trained state: fold BN -> calibrate -> int8,
+    at the full default quantize_scope (backbone convs + BERT and VL
+    transformer denses).
 
     Exercises the QuantConv x DC5-dilation composition (mc.dilation=True)
-    on a CONVERGED model — the strongest available accuracy evidence for
-    --quantize_int8 without real data."""
+    and transformer QuantDense on a CONVERGED model — the strongest
+    available accuracy evidence for --quantize_int8 without real data."""
     import dataclasses as dc
 
     from reftr_tpu.nn.fold import optimize_resnet_params
-    from reftr_tpu.nn.quant import quantize_backbone_params
+    from reftr_tpu.nn.quant import quantize_params
 
     params = jax.device_get(state.params)
     params = dict(params, img_backbone=optimize_resnet_params(
@@ -60,9 +62,9 @@ def _int8_accuracy(mc, lc, wd, state, batches):
     calib_model = RefTR(dc.replace(mc_fold, quant_calibrate=True))
     _, var = calib_model.apply({"params": params}, batches[0][0],
                                deterministic=True, mutable=["calib"])
-    qparams = dict(params, img_backbone=quantize_backbone_params(
-        params["img_backbone"], jax.device_get(var["calib"])["img_backbone"]))
     qmodel = RefTR(dc.replace(mc_fold, quantize_int8=True))
+    qparams = quantize_params(params, jax.device_get(var["calib"]),
+                              scope=mc_fold.quantize_scope)
     return _accuracy(qmodel, qparams, batches, wd, lc)
 
 

@@ -18,8 +18,11 @@ import pytest
 from reftr_tpu.nn.fold import optimize_resnet_params
 from reftr_tpu.nn.quant import (
     QuantConv,
+    QuantDense,
     quantize_backbone_params,
     quantize_conv_kernel,
+    quantize_dense_kernel,
+    quantize_params,
 )
 from reftr_tpu.nn.resnet import ResNet
 
@@ -45,6 +48,89 @@ def test_quantconv_matches_fp_conv():
     err = np.abs(np.asarray(y_fp) - np.asarray(y_q)).mean()
     ref = np.abs(np.asarray(y_fp)).mean()
     assert err / ref < 0.02, err / ref
+
+
+def test_quantdense_matches_fp_dense():
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (4, 40, 96), jnp.float32)
+    kernel = jax.random.normal(k2, (96, 192), jnp.float32) * 0.1
+    bias = jax.random.normal(k3, (192,), jnp.float32) * 0.05
+
+    from flax import linen as nn
+
+    y_fp = nn.Dense(192).apply(
+        {"params": {"kernel": kernel, "bias": bias}}, x)
+
+    qp = quantize_dense_kernel(kernel, bias, float(jnp.abs(x).max()))
+    assert qp["kernel_q"].dtype == jnp.int8
+    y_q = QuantDense(192).apply({"params": qp}, x)
+
+    err = np.abs(np.asarray(y_fp) - np.asarray(y_q)).mean()
+    ref = np.abs(np.asarray(y_fp)).mean()
+    assert err / ref < 0.02, err / ref
+
+
+def test_full_model_int8_close_to_fp():
+    """Calibrate + quantize the WHOLE serving stack (backbone convs, BERT
+    and VL-transformer projections/FFNs) on a small model; predicted boxes
+    must track the fp model closely."""
+    import dataclasses as dc
+
+    from reftr_tpu.core.config import ModelConfig, RefTRConfig
+    from reftr_tpu.models import build_model
+
+    mc = ModelConfig(fold_bn=True, aux_loss=False,
+                     quantize_scope=("backbone", "bert", "vl"))
+    mc = dc.replace(mc, bert=dc.replace(mc.bert, num_hidden_layers=2,
+                                        vocab_size=500),
+                    enc_layers=2, dec_layers=2)
+    cfg = RefTRConfig(model=mc)
+    model, _ = build_model(cfg)
+    rs = np.random.default_rng(0)
+    b, hw, s = 2, 128, 12
+    batch = {
+        "image": rs.normal(size=(b, hw, hw, 3)).astype(np.float32),
+        "image_valid": np.ones((b, hw, hw), bool),
+        "sentence": rs.integers(1, 500, size=(b, s)).astype(np.int32),
+        "sentence_valid": np.ones((b, s), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    # non-trivial bbox head (the default zero-init would make parity trivial)
+    params["bbox_embed"]["layers_2"]["kernel"] = (
+        rs.normal(size=params["bbox_embed"]["layers_2"]["kernel"].shape)
+        .astype(np.float32) * 0.1)
+
+    calib_model, _ = build_model(RefTRConfig(model=dc.replace(
+        mc, quant_calibrate=True)))
+    out_fp, var = calib_model.apply({"params": params}, batch,
+                                    mutable=["calib"])
+    calib = jax.device_get(var["calib"])
+    # every transformer dense got a calibrated absmax
+    assert "q_proj_in" in calib["lang_backbone"]["layer_0"]["attention"]
+    assert "linear1_in" in calib["vl_transformer"]["encoder"]["layers_0"]["ffn"]
+    assert "linear2_in" in calib["vl_transformer"]["decoder"]["layers_1"]["ffn"]
+
+    qparams = quantize_params(params, calib, scope=mc.quantize_scope)
+    assert (qparams["lang_backbone"]["layer_0"]["attention"]["q_proj"]
+            ["kernel_q"].dtype == jnp.int8)
+    assert (qparams["vl_transformer"]["encoder"]["layers_0"]["ffn"]
+            ["linear1"]["kernel_q"].dtype == jnp.int8)
+    # the BERT pooler and heads stay fp
+    assert "kernel" in qparams["lang_backbone"]["pooler"]
+    assert "kernel" in qparams["bbox_embed"]["layers_0"]
+
+    qmodel, _ = build_model(RefTRConfig(model=dc.replace(
+        mc, quantize_int8=True)))
+    out_q = qmodel.apply({"params": qparams}, batch)
+
+    a = np.asarray(out_fp["pred_boxes"], np.float32).ravel()
+    bq = np.asarray(out_q["pred_boxes"], np.float32).ravel()
+    assert np.isfinite(bq).all()
+    err = np.abs(a - bq).max()
+    # int8 noise through 2+2+2 quantized layers on random weights;
+    # normalized-coordinate boxes must stay within a few 1e-2
+    assert err < 0.05, err
 
 
 def _jitter_bn(p, rs=np.random.RandomState(0)):

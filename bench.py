@@ -332,9 +332,12 @@ def main():
         bench_train = functools.partial(bench_train, batch_size=b)
         bench_latency = functools.partial(bench_latency, batch_size=b)
     if mode == "rec":
-        # driver contract: the production serving config (fold_bn +
-        # fold_normalize, exact reparameterizations — PERFORMANCE.md r3)
-        out = bench_rec(fold_normalize=True)
+        # driver contract: the production serving config — fold_bn +
+        # fold_normalize (exact reparameterizations) + full-scope int8 PTQ
+        # (accuracy-gated: trained-model gate in tests/test_learning.py,
+        # e2e eval reproduction in tests/test_quantize.py — PERFORMANCE.md r3)
+        out = bench_rec(fold_normalize=True, quantize=True,
+                        quantize_scope=("backbone", "bert", "vl"))
         out["metric"] = "inference_images_per_sec_per_chip"
     elif mode == "rec_plain":
         out = bench_rec()

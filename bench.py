@@ -83,7 +83,7 @@ def measure_eval(model, params, batch, batch_size, steps=STEPS):
 
 
 def bench_rec(batch_size=64, fold_normalize=False, quantize=False,
-              quantize_scope=("backbone",)):
+              quantize_scope=("backbone",), block_layer1=False):
     import dataclasses as dc
 
     import jax
@@ -94,7 +94,8 @@ def bench_rec(batch_size=64, fold_normalize=False, quantize=False,
     mc = ModelConfig(dtype="bfloat16", aux_loss=False,
                      fold_bn=fold_normalize or quantize,
                      fold_normalize=fold_normalize,
-                     quantize_scope=tuple(quantize_scope))
+                     quantize_scope=tuple(quantize_scope),
+                     block_layer1=block_layer1)
     cfg = RefTRConfig(model=mc)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -238,7 +239,7 @@ def bench_seg(batch_size=32, fold_normalize=False, quantize=False):
 
 def bench_train(batch_size=32, optimized=False, uint8=False,
                 fold_normalize=False, pad_width=0, backbone_remat=False,
-                remat_stages=()):
+                remat_stages=(), block_layer1=False):
     import jax
     import jax.numpy as jnp
 
@@ -255,7 +256,8 @@ def bench_train(batch_size=32, optimized=False, uint8=False,
                      fold_normalize=fold_normalize,
                      backbone_pad_width=pad_width,
                      backbone_remat=backbone_remat,
-                     backbone_remat_stages=tuple(remat_stages))
+                     backbone_remat_stages=tuple(remat_stages),
+                     block_layer1=block_layer1)
     cfg = RefTRConfig(model=mc)
     model, wd = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -350,6 +352,11 @@ def main():
     elif mode == "train_u8":
         # production input path: uint8 canvases, /255+normalize on device
         out = bench_train(optimized=True, uint8=True)
+    elif mode == "train_blk":
+        # layer1 on the 2x2 space-to-depth grid (--block_layer1):
+        # exact reparameterization, fills MXU lanes at 160^2
+        out = bench_train(optimized=True, uint8=True, block_layer1=True)
+        out["metric"] = out["metric"].replace("train_u8", "train_blk")
     elif mode == "train_rbg":
         # XLA-native RBG PRNG for the non-Pallas dropouts (threefry is
         # serial bit-twiddling on the VPU; rbg lowers to the TPU's native
@@ -378,6 +385,14 @@ def main():
         # int8 PTQ of backbone + BERT + VL transformer (quantize_scope)
         out = bench_rec(fold_normalize=True, quantize=True,
                         quantize_scope=("backbone", "bert", "vl"))
+    elif mode == "rec_blk":
+        # serving with layer1 on the 2x2 space-to-depth grid
+        out = bench_rec(fold_normalize=True, block_layer1=True)
+        out["metric"] = "inference_blk_images_per_sec_per_chip"
+    elif mode == "rec_blk_int8":
+        out = bench_rec(fold_normalize=True, quantize=True, block_layer1=True,
+                        quantize_scope=("backbone", "bert", "vl"))
+        out["metric"] = "inference_blk_int8_images_per_sec_per_chip"
     elif mode == "rec_fn":
         # serving path with normalize folded into the stem (no s2d: the
         # s2d stem is a training-only win, PERFORMANCE.md)

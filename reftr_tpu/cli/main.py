@@ -126,6 +126,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--fold_normalize", action="store_true",
                    help="fold /255 + ImageNet normalize into the stem conv"
                         " (uint8 input path; requires --fold_bn)")
+    p.add_argument("--block_layer1", action="store_true",
+                   help="run layer1 on the 2x2 space-to-depth grid (exact"
+                        " reparameterization; fills MXU lanes at the"
+                        " spatial-heaviest stage)")
     p.add_argument("--backbone_pad_width", default=0, type=int,
                    help="zero-pad bottleneck inner widths below this to it"
                         " (exact; fills MXU lanes at layer1)")
@@ -199,6 +203,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.fold_bn = args.fold_bn
     m.fold_normalize = args.fold_normalize
     m.backbone_pad_width = args.backbone_pad_width
+    m.block_layer1 = args.block_layer1
     m.backbone_remat = args.backbone_remat
     m.backbone_remat_stages = tuple(args.backbone_remat_stages)
     m.quantize_int8 = args.quantize_int8

@@ -118,6 +118,10 @@ class ModelConfig:
     # remats only the listed stages (1..4)
     backbone_remat: bool = False
     backbone_remat_stages: Tuple[int, ...] = ()
+    # run layer1 on the 2x2 space-to-depth grid (exact reparameterization,
+    # nn/fold.py::fold_layer1_to_block) — fills MXU lanes at the
+    # spatial-heaviest stage; see PERFORMANCE.md round 3
+    block_layer1: bool = False
     # int8 post-training quantization of the backbone's bottleneck convs
     # (serving/eval only — the MXU's int8 path runs at 2x the bf16 peak;
     # nn/quant.py). Requires fold_bn. quant_calibrate is the internal

@@ -97,6 +97,7 @@ class RefTR(nn.Module):
             min_inner_width=mc.backbone_pad_width,
             remat_blocks=mc.backbone_remat,
             remat_stages=tuple(mc.backbone_remat_stages),
+            block_layer1=mc.block_layer1,
             quantize=mc.quantize_int8 and "backbone" in mc.quantize_scope,
             sow_absmax=mc.quant_calibrate,
             name="img_backbone")

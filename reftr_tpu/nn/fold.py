@@ -143,12 +143,83 @@ def pad_inner_channels(params: Dict[str, Any], min_width: int) -> Dict:
     return out
 
 
+def fold_1x1_to_block(kernel: np.ndarray) -> np.ndarray:
+    """[1,1,cin,cout] -> [1,1,4cin,4cout] block-diagonal per 2x2 subpixel.
+
+    A 1x1 conv acts on each pixel independently, so in 2x2 space-to-depth
+    ("block") space it is the same kernel applied per subpixel slot:
+    W'[(p,c),(q,o)] = W[c,o] * delta(p=q), channel order (py,px,c)
+    matching the stem's space_to_depth. Exact."""
+    _, _, cin, cout = kernel.shape
+    w = np.asarray(kernel, np.float32)
+    k = np.zeros((1, 1, 4 * cin, 4 * cout), np.float32)
+    for p in range(4):
+        k[:, :, p * cin:(p + 1) * cin, p * cout:(p + 1) * cout] = w[0, 0]
+    return k
+
+
+def fold_3x3_to_block(kernel: np.ndarray) -> np.ndarray:
+    """[3,3,cin,cout] s1 SAME kernel -> [3,3,4cin,4cout] on the 2x2 block
+    grid (s1 SAME). Exact.
+
+    Output subpixel (qy,qx) at block (Y,X) is original pixel (2Y+qy,2X+qx);
+    its tap at original offset (dy,dx) reads block offset
+    (floor((qy+dy)/2), floor((qx+dx)/2)) subpixel ((qy+dy)%2, (qx+dx)%2).
+    Offsets stay in [-1,1] so a 3x3 block kernel (75% structural zeros)
+    expresses the conv exactly; the zero taps also absorb the block grid's
+    SAME padding, which covers 2 original pixels instead of 1."""
+    _, _, cin, cout = np.asarray(kernel).shape
+    w = np.asarray(kernel, np.float32)
+    k = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    for qy in range(2):
+        for qx in range(2):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    By, py = divmod(qy + dy, 2)
+                    Bx, px = divmod(qx + dx, 2)
+                    pi = (py * 2 + px) * cin
+                    qi = (qy * 2 + qx) * cout
+                    k[By + 1, Bx + 1, pi:pi + cin, qi:qi + cout] = \
+                        w[dy + 1, dx + 1]
+    return k
+
+
+def fold_layer1_to_block(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Rewrite every layer1_* Bottleneck subtree for ResNet(block_layer1).
+
+    layer1 runs at the backbone's largest spatial extent (160^2 at 640px)
+    with its narrowest channels (64/256) — measured 1.2-1.8x slower per
+    conv than the mathematically identical convs on the 2x2-space-to-depth
+    grid (80^2 at 256/1024 channels), despite those carrying up to 4x the
+    nominal FLOPs: the narrow-channel spatial-heavy shapes underfill the
+    MXU's 128-wide lanes (PERFORMANCE.md round 3). Per-channel vectors
+    (FrozenBN stats or folded biases) tile x4 in (py,px,c) order."""
+    out = dict(params)
+    for name, mod in params.items():
+        if not name.startswith("layer1_"):
+            continue
+        m = {}
+        for cname, sub in mod.items():
+            if cname in ("conv1", "conv3", "downsample_conv"):
+                m[cname] = dict(sub, kernel=fold_1x1_to_block(
+                    np.asarray(sub["kernel"])))
+            elif cname == "conv2":
+                m[cname] = dict(sub, kernel=fold_3x3_to_block(
+                    np.asarray(sub["kernel"])))
+            else:  # bn subtrees: per-channel vectors
+                m[cname] = {k: np.tile(np.asarray(v), 4)
+                            for k, v in sub.items()}
+        out[name] = m
+    return out
+
+
 def optimize_resnet_params(
     params: Dict[str, Any],
     space_to_depth: bool = False,
     fold_bn: bool = False,
     fold_normalize: bool = False,
     min_inner_width: int = 0,
+    block_layer1: bool = False,
     eps: float = _BN_EPS,
 ) -> Dict[str, Any]:
     """Standard ResNet param tree -> tree for ResNet(space_to_depth, fold_bn).
@@ -176,7 +247,11 @@ def optimize_resnet_params(
     if fold_normalize:
         out = fold_normalize_into_stem(out)
     if min_inner_width:
+        assert not block_layer1, \
+            "backbone_pad_width and block_layer1 are mutually exclusive"
         out = pad_inner_channels(out, min_inner_width)
+    if block_layer1:
+        out = fold_layer1_to_block(out)
     return out
 
 
@@ -186,7 +261,8 @@ def optimize_backbone_in_tree(params: Dict[str, Any], model_cfg) -> Dict:
     if not (getattr(model_cfg, "space_to_depth_stem", False)
             or getattr(model_cfg, "fold_bn", False)
             or getattr(model_cfg, "fold_normalize", False)
-            or getattr(model_cfg, "backbone_pad_width", 0)):
+            or getattr(model_cfg, "backbone_pad_width", 0)
+            or getattr(model_cfg, "block_layer1", False)):
         return params
     out = dict(params)
     if "img_backbone" in out:
@@ -195,5 +271,6 @@ def optimize_backbone_in_tree(params: Dict[str, Any], model_cfg) -> Dict:
             space_to_depth=model_cfg.space_to_depth_stem,
             fold_bn=model_cfg.fold_bn,
             fold_normalize=getattr(model_cfg, "fold_normalize", False),
-            min_inner_width=getattr(model_cfg, "backbone_pad_width", 0))
+            min_inner_width=getattr(model_cfg, "backbone_pad_width", 0),
+            block_layer1=getattr(model_cfg, "block_layer1", False))
     return out

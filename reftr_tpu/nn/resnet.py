@@ -174,6 +174,12 @@ class ResNet(nn.Module):
     # zero-pad bottleneck inner widths below this to it (0 = off); fills
     # MXU lanes at the spatial-heavy low-channel stages (layer1 width 64)
     min_inner_width: int = 0
+    # run layer1 on the 2x2 space-to-depth grid (80^2 x 256/1024 channels
+    # instead of 160^2 x 64/256): an exact weight reparameterization
+    # (nn/fold.py::fold_layer1_to_block) that fills the MXU lanes at the
+    # backbone's spatial-heaviest stage — measured 1.2-1.8x per conv
+    # despite carrying up to 4x the nominal FLOPs (PERFORMANCE.md round 3)
+    block_layer1: bool = False
     # jax.checkpoint bottlenecks: backward recomputes the block's inner
     # activations instead of reading them back from HBM — a candidate win
     # for the bandwidth-bound conv backward at 640px (measured in bench.py).
@@ -229,6 +235,20 @@ class ResNet(nn.Module):
             dilation = 1
             if stage == 4 and self.dilation:
                 stride, dilation = 1, 2
+            blk = self.block_layer1 and stage == 1
+            if blk:
+                assert not self.min_inner_width, \
+                    "backbone_pad_width and block_layer1 are exclusive"
+                bb, hh, ww, cc = x.shape
+                assert hh % 2 == 0 and ww % 2 == 0, \
+                    "block_layer1 needs even post-stem H, W"
+                # 2x2 space-to-depth, channel order (py, px, c) — the
+                # stage-1 convs run on the block grid with the exact
+                # reparameterized kernels (nn/fold.py); stride stays 1
+                x = x.reshape(bb, hh // 2, 2, ww // 2, 2, cc)
+                x = x.transpose(0, 1, 3, 2, 4, 5)
+                x = x.reshape(bb, hh // 2, ww // 2, 4 * cc)
+                width = width * 4
             for b in range(n_blocks):
                 # torchvision's replace_stride_with_dilation: block 0 keeps
                 # the previous dilation (1), later blocks use the new one.
@@ -245,6 +265,13 @@ class ResNet(nn.Module):
                     sow_absmax=self.sow_absmax,
                     name=f"layer{stage}_{b}",
                 )(x)
+            if blk:
+                # depth-to-space back to the original grid for layer2/FPN
+                bb, hh, ww, c4 = x.shape
+                cc = c4 // 4
+                x = x.reshape(bb, hh, ww, 2, 2, cc)
+                x = x.transpose(0, 1, 3, 2, 4, 5)
+                x = x.reshape(bb, hh * 2, ww * 2, cc)
             feats.append(x)
 
         if self.return_interm_layers:

@@ -179,7 +179,8 @@ def run_training(cfg: RefTRConfig) -> Dict:
     sample_batch, _ = next(iter(train_loader))
     rng = jax.random.PRNGKey(cfg.train.seed)
     fold_flags = (cfg.model.space_to_depth_stem or cfg.model.fold_bn
-                  or cfg.model.fold_normalize or cfg.model.backbone_pad_width)
+                  or cfg.model.fold_normalize or cfg.model.backbone_pad_width
+                  or cfg.model.block_layer1)
     if fold_flags:
         if cfg.model.fold_normalize and not cfg.train.eval_only:
             # measured (PERFORMANCE.md r3): from-scratch training with the
@@ -200,7 +201,8 @@ def run_training(cfg: RefTRConfig) -> Dict:
         base_model, _ = build_model(_dc.replace(
             fp_cfg, model=_dc.replace(
                 fp_cfg.model, space_to_depth_stem=False, fold_bn=False,
-                fold_normalize=False, backbone_pad_width=0)))
+                fold_normalize=False, backbone_pad_width=0,
+                block_layer1=False)))
         params = base_model.init(rng, sample_batch)["params"]
         params = optimize_backbone_in_tree(params, cfg.model)
     else:

@@ -377,3 +377,41 @@ def test_fold_matches_torch_converted_weights(rng):
         y, jnp.asarray(k), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :16, :16]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_block_layer1_equivalence(rng):
+    """layer1 on the 2x2 space-to-depth grid (block_layer1) is an exact
+    reparameterization: fold_layer1_to_block'd params through the block
+    model reproduce the standard backbone to float tolerance, alone and
+    composed with the s2d stem + BN folds (nn/fold.py)."""
+    import jax
+
+    from reftr_tpu.nn.fold import optimize_resnet_params
+
+    base = ResNet("resnet50", return_interm_layers=True)
+    x = rng.normal(size=(2, 64, 96, 3)).astype(np.float32)
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    # randomize BN stats so the x4 tiling of the bn vectors is non-trivial
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (np.abs(rng.normal(size=v.shape)).astype(np.float32)
+                      + 0.5) if "running_var" in jax.tree_util.keystr(p)
+        else (rng.normal(size=v.shape).astype(np.float32) * 0.1 + v
+              if "running_mean" in jax.tree_util.keystr(p) else v),
+        params)
+    ref = base.apply({"params": params}, x)
+
+    for s2d, fold in ((False, False), (True, True)):
+        opt_model = ResNet("resnet50", return_interm_layers=True,
+                           space_to_depth=s2d, fold_bn=fold,
+                           block_layer1=True)
+        opt_params = optimize_resnet_params(
+            params, space_to_depth=s2d, fold_bn=fold, block_layer1=True)
+        init_tree = jax.tree_util.tree_structure(
+            opt_model.init(jax.random.PRNGKey(1), x)["params"])
+        assert jax.tree_util.tree_structure(opt_params) == init_tree
+        out = opt_model.apply({"params": opt_params}, x)
+        for a, b in zip(ref, out):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"block_layer1 s2d={s2d} fold={fold}")

@@ -237,6 +237,58 @@ def bench_seg(batch_size=32, fold_normalize=False, quantize=False):
     }
 
 
+def bench_exported(batch_size=64):
+    """Deployment-artifact serving: export the production config (fold_bn +
+    fold_normalize + full-scope int8 PTQ) via jax.export, reload the
+    serialized StableHLO, and measure the DESERIALIZED program's
+    throughput — any gap vs `rec` is artifact overhead."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from reftr_tpu.core.config import ModelConfig, RefTRConfig
+    from reftr_tpu.tools.export_model import export_with_config, \
+        load_exported
+
+    mc = ModelConfig(dtype="bfloat16", aux_loss=False, fold_bn=True,
+                     fold_normalize=True, quantize_int8=True,
+                     quantize_scope=("backbone", "bert", "vl"))
+    cfg = RefTRConfig(model=mc)
+    with tempfile.TemporaryDirectory() as d:
+        _, _, _, manifest = export_with_config(
+            cfg, resume="", out_dir=d, batch_size=batch_size,
+            platforms=(jax.default_backend(),),
+            print_fn=lambda *a: None)
+        call, _ = load_exported(d)
+        rng = np.random.default_rng(0)
+        batch = jax.device_put(make_batch(
+            rng, batch_size, cfg.data.img_size, cfg.data.max_query_len,
+            mc.bert.vocab_size, uint8=True))
+
+        @jax.jit
+        def fwd(batch, step):
+            img = ((batch["image"].astype(jnp.int32) + step) % 256
+                   ).astype(jnp.uint8)
+            return call(dict(batch, image=img))["pred_boxes"]
+
+        np.asarray(fwd(batch, jnp.asarray(0)))
+        for i in range(WARMUP):
+            np.asarray(fwd(batch, jnp.asarray(i + 1)))
+        t0 = time.perf_counter()
+        outs = [fwd(batch, jnp.asarray(100 + i)) for i in range(STEPS)]
+        np.asarray(outs[-1])
+        dt = time.perf_counter() - t0
+        ips = batch_size * STEPS / dt
+    return {
+        "metric": "inference_exported_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
+        "artifact_mb": round(manifest["artifact_bytes"] / 2**20, 1),
+    }
+
+
 def bench_train(batch_size=32, optimized=False, uint8=False,
                 fold_normalize=False, pad_width=0, backbone_remat=False,
                 remat_stages=(), block_layer1=False):
@@ -393,6 +445,9 @@ def main():
         out = bench_rec(fold_normalize=True, quantize=True, block_layer1=True,
                         quantize_scope=("backbone", "bert", "vl"))
         out["metric"] = "inference_blk_int8_images_per_sec_per_chip"
+    elif mode == "rec_exported":
+        # serving through the deployment artifact (tools/export_model.py)
+        out = bench_exported()
     elif mode == "rec_fn":
         # serving path with normalize folded into the stem (no s2d: the
         # s2d stem is a training-only win, PERFORMANCE.md)

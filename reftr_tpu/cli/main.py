@@ -181,7 +181,9 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.nheads = args.nheads
     m.masks = args.masks
     m.freeze_reftr = args.freeze_reftr
-    m.freeze_backbone = args.freeze_backbone
+    # lr_backbone <= 0 freezes layer2-4 too (backbone.py:85-89); telling the
+    # model lets it prune the whole backbone backward with stop_gradient
+    m.freeze_backbone = args.freeze_backbone or args.lr_backbone <= 0
     m.freeze_bert = args.freeze_bert
     m.bert_model = args.bert_model
     from reftr_tpu.core.config import BertConfig

@@ -88,6 +88,12 @@ class ModelConfig:
     freeze_reftr: bool = False
     freeze_bert: bool = False
     freeze_backbone: bool = False
+    # prune the backward graph at frozen boundaries with stop_gradient,
+    # mirroring torch requires_grad=False autograd pruning (stem+layer1
+    # always; full backbone / BERT / RefTR trunk when frozen). Also keeps
+    # frozen params out of the global clip norm, like torch's clip which
+    # skips grad=None params. Off switch for A/B measurement only.
+    stop_grad_frozen: bool = True
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128

@@ -91,6 +91,15 @@ class RefTR(nn.Module):
                 "working forward pass in the reference; not supported")
         dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
+        # torch-parity backward pruning: stem+layer1 are ALWAYS frozen
+        # (backbone.py:85-89 — requires_grad=False, so torch never runs
+        # their backward); a fully frozen backbone prunes every stage.
+        if mc.stop_grad_frozen:
+            stop_stages = ((1, 2, 3, 4)
+                           if (mc.freeze_backbone or mc.freeze_reftr)
+                           else (1,))
+        else:
+            stop_stages = ()
         self.img_backbone = ResNet(
             mc.backbone, self.return_interm_layers, mc.dilation, dtype=dtype,
             space_to_depth=mc.space_to_depth_stem, fold_bn=mc.fold_bn,
@@ -100,6 +109,7 @@ class RefTR(nn.Module):
             block_layer1=mc.block_layer1,
             quantize=mc.quantize_int8 and "backbone" in mc.quantize_scope,
             sow_absmax=mc.quant_calibrate,
+            stop_grad_stages=stop_stages,
             name="img_backbone")
         self.lang_backbone = BertModel(
             mc.bert, dtype=dtype,
@@ -188,9 +198,18 @@ class RefTR(nn.Module):
             poss.append(self.pos_embedding(v).astype(src.dtype))
         return srcs, valids, poss, feats
 
+    def _lang_frozen(self) -> bool:
+        mc = self.config
+        return mc.stop_grad_frozen and (mc.freeze_bert or mc.freeze_reftr)
+
     def encode_language(self, sentence, sentence_valid, deterministic):
         seq, pooled = self.lang_backbone(sentence, sentence_valid,
                                          deterministic=deterministic)
+        if self._lang_frozen():
+            # --freeze_bert (main_vg.py:33): torch prunes the whole BERT
+            # backward via requires_grad=False; do the same here.
+            seq = jax.lax.stop_gradient(seq)
+            pooled = jax.lax.stop_gradient(pooled)
         return self.map_sentence(seq, deterministic), pooled
 
     def phrase_inputs(self, batch, pooled_sentence, deterministic):
@@ -214,6 +233,8 @@ class RefTR(nn.Module):
             flat_valid = phrase_valid.reshape(b * n_ph, sp)
             _, pooled = self.lang_backbone(flat, flat_valid,
                                            deterministic=deterministic)
+            if self._lang_frozen():
+                pooled = jax.lax.stop_gradient(pooled)
             phrase_pooled = pooled.reshape(b, n_ph, -1)
             # context attendable only inside the phrase token span [l, r)
             t = jnp.arange(s)[None, None, :]

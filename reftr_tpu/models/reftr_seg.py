@@ -63,8 +63,14 @@ class RefTRSeg(RefTR):
                 raise ValueError(
                     "fold_normalize expects uint8 image inputs")
             image = batch["image"]
+        # freeze_reftr (:53-54): torch freezes the whole trunk BEFORE the
+        # mask branch is constructed, so autograd never runs the trunk
+        # backward; stop_gradient at the trunk outputs reproduces that
+        # pruning (backbone stages are stopped inside ResNet already).
+        frozen_trunk = mc.freeze_reftr and mc.stop_grad_frozen
+        sg = jax.lax.stop_gradient if frozen_trunk else (lambda t: t)
         feats = self.img_backbone(image)  # 4 levels (masks=True)
-        src = self.input_proj[0](feats[-1])
+        src = sg(self.input_proj[0](feats[-1]))
         from reftr_tpu.nn.resnet import downsample_mask
 
         img_valid = downsample_mask(batch["image_valid"], src.shape[1:3])
@@ -82,17 +88,18 @@ class RefTRSeg(RefTR):
         memory, memory_valid, memory_pos = self.vl_transformer.encode(
             srcs, img_valids, img_poss, sentence_feat, sentence_valid,
             deterministic)
+        memory = sg(memory)
         memory_lang = memory[:, :s]
         query, query_pos = self.query_encoder(
             memory_lang, phrase_pooled, context_valid, deterministic)
-        hs = self.vl_transformer.decode(
+        hs = sg(self.vl_transformer.decode(
             query, query_pos, query_valid, memory, memory_valid, memory_pos,
-            deterministic)  # [L, B, nq, D]
+            deterministic))  # [L, B, nq, D]
 
         # detection head: last layer only, no aux (reference :134-137)
         last_hs = hs[-1].reshape(b, 1, n_q, -1)
-        coords = jax.nn.sigmoid(
-            self.bbox_embed(last_hs).astype(jnp.float32))
+        coords = sg(jax.nn.sigmoid(
+            self.bbox_embed(last_hs).astype(jnp.float32)))
         out: Dict[str, Any] = {
             "pred_boxes": coords,
             "phrase_mask": query_valid,

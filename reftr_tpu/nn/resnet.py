@@ -197,6 +197,15 @@ class ResNet(nn.Module):
     # (mutable=['calib']).
     quantize: bool = False
     sow_absmax: bool = False
+    # Stages whose outputs are wrapped in stop_gradient. Mirrors torch
+    # requires_grad=False autograd pruning for frozen stages: the reference
+    # NEVER trains the stem+layer1 (backbone.py:85-89), so torch skips their
+    # entire backward (the image needs no grad); stage 1 here kills the
+    # stem+layer1 backward (~59% of the backbone's fwd+bwd at 640px,
+    # PERFORMANCE.md conv profile) and keeps frozen params out of the global
+    # clip norm (torch clip skips grad=None params). (1,2,3,4) = fully
+    # frozen backbone (lr_backbone<=0 / --freeze_backbone).
+    stop_grad_stages: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -272,6 +281,8 @@ class ResNet(nn.Module):
                 x = x.reshape(bb, hh, ww, 2, 2, cc)
                 x = x.transpose(0, 1, 3, 2, 4, 5)
                 x = x.reshape(bb, hh * 2, ww * 2, cc)
+            if stage in self.stop_grad_stages:
+                x = jax.lax.stop_gradient(x)
             feats.append(x)
 
         if self.return_interm_layers:

@@ -71,7 +71,10 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
         if match(path, train_cfg.lr_mask_branch_names):
             return "mask_branch"
         if model_cfg.freeze_reftr:
-            return "frozen"
+            # the reference freezes the trunk BEFORE constructing the mask
+            # branch AND the CEM block (reftr_segmentation.py:52-63), so
+            # cem_block stays trainable at the base LR under freeze_reftr
+            return "base" if "cem_block" in parts else "frozen"
         return "base"
 
     def fn(params):
@@ -109,7 +112,21 @@ def build_optimizer(
     transforms: Dict[str, optax.GradientTransformation] = {
         g: make(g) for g in GROUPS
     }
-    tx = optax.multi_transform(transforms, label_fn(model_cfg, train_cfg))
+    labels = label_fn(model_cfg, train_cfg)
+    tx = optax.multi_transform(transforms, labels)
     if train_cfg.clip_max_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(train_cfg.clip_max_norm), tx)
+        # torch's clip_grad_norm_ only sees requires_grad params (frozen
+        # ones have grad=None); zero frozen grads BEFORE the global norm so
+        # they don't dilute the clip scaling. Most are exact zeros already
+        # via the model's stop_gradient pruning; this also catches the
+        # FrozenBN leaves inside trainable stages.
+        def frozen_mask(tree):
+            return jax.tree_util.tree_map(
+                lambda l: l == "frozen", labels(tree))
+
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), frozen_mask),
+            optax.clip_by_global_norm(train_cfg.clip_max_norm),
+            tx,
+        )
     return tx

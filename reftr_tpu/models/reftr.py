@@ -206,8 +206,12 @@ class RefTR(nn.Module):
         seq, pooled = self.lang_backbone(sentence, sentence_valid,
                                          deterministic=deterministic)
         if self._lang_frozen():
-            # --freeze_bert (main_vg.py:33): torch prunes the whole BERT
-            # backward via requires_grad=False; do the same here.
+            # --freeze_bert (main_vg.py:104): in the reference the flag is
+            # dead code — freeze_lang_backbone (reftr_transformer.py:128) is
+            # never consumed, and freeze_bert() refers to a nonexistent
+            # self.textmodel and is never called. We deliberately implement
+            # the documented intent (prune the whole BERT backward), a fix
+            # of a reference bug, not torch parity.
             seq = jax.lax.stop_gradient(seq)
             pooled = jax.lax.stop_gradient(pooled)
         return self.map_sentence(seq, deterministic), pooled

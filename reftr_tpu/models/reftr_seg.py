@@ -11,7 +11,12 @@ Rebuilds RefTRSeg (/root/reference/models/reftr_segmentation.py:44-175):
     then the FPN mask head over backbone C3/C2/C1 producing 1/4-resolution
     mask logits,
   * optional CEM energy loss (--ablation cem_loss) (:146-147),
-  * freeze_reftr (:53-54) is handled by the optimizer's param groups.
+  * freeze_reftr (:53-54) is handled both by the optimizer's param groups
+    and by stop_gradient pruning of the frozen trunk's backward, with the
+    CEM block kept trainable (the reference freezes the trunk BEFORE
+    constructing the mask branch and CEM, :52-63). NB the reference's
+    driver hardcodes freeze_reftr=False (reftr_segmentation.py:375), so the
+    flag is dead upstream; we implement the class-level intent.
 
 Inherits RefTR's submodules via linen setup chaining.
 """

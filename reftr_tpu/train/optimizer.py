@@ -13,7 +13,10 @@ Frozen exactly like the reference:
   * all FrozenBN tensors (torch buffers: backbone.py:43-58),
   * ResNet stem (conv1/bn1) and layer1 always (backbone.py:85-89),
   * layer2-4 when lr_backbone <= 0,
-  * the whole language backbone when freeze_bert (main_vg.py:33),
+  * the whole language backbone when freeze_bert (main_vg.py:104) — dead
+    code in the reference (freeze_lang_backbone is never consumed and
+    freeze_bert() references a nonexistent self.textmodel); we implement
+    the documented intent, a deliberate fix of a reference bug,
   * everything except the mask branch when freeze_reftr.
 
 AdamW (torch semantics: weight decay on ALL params of a trainable group) or

@@ -25,10 +25,11 @@ from reftr_tpu.tools.export_model import (
 
 
 def tiny_cfg(**model_kw):
-    mc = ModelConfig(backbone="resnet50", enc_layers=2, dec_layers=2,
-                     dim_feedforward=64, hidden_dim=32, nheads=4,
-                     bert=BertConfig.tiny(), aux_loss=False,
-                     dtype="float32", **model_kw)
+    kw = dict(backbone="resnet50", enc_layers=2, dec_layers=2,
+              dim_feedforward=64, hidden_dim=32, nheads=4,
+              bert=BertConfig.tiny(), aux_loss=False, dtype="float32")
+    kw.update(model_kw)
+    mc = ModelConfig(**kw)
     dc = DataConfig(img_size=64, max_img_size=64, max_query_len=12,
                     max_sentence_len=16, max_num_phrases=4,
                     phrase_seq_len=6)
@@ -116,7 +117,10 @@ def test_export_multiphrase_inputs_and_outputs():
 
 
 def test_export_masks_model_emits_pred_masks():
-    cfg = tiny_cfg(masks=True)
+    # nheads=8 and hidden_dim=128 so every MaskHeadSmallConv GroupNorm(8)
+    # channel count divides by 8 (dims go down to hidden//16 = 8), as at the
+    # real shape (hidden=256); see tests/test_seg_model.py::seg_setup.
+    cfg = tiny_cfg(masks=True, nheads=8, hidden_dim=128)
     with tempfile.TemporaryDirectory() as d:
         out = os.path.join(d, "exported")
         model, params, exported, manifest = export_with_config(

@@ -84,10 +84,15 @@ def test_trainable_grads_unchanged_by_pruning():
             jax.tree_util.tree_leaves_with_path(g[True]),
             jax.tree_util.tree_leaves_with_path(g[False])):
         parts = [str(getattr(k, "key", k)) for k in path]
-        if "img_backbone" in parts and (
-                "conv1" in parts or "bn1" in parts
-                or any(p.startswith("layer1_") for p in parts)):
-            continue  # the pruned (frozen) subtree
+        if "img_backbone" in parts:
+            # Only the STEM's conv1/bn1 (direct child of img_backbone) and
+            # layer1 are frozen — Bottleneck conv1/bn1 inside trainable
+            # layer2-4 must still be compared (mirrors optimizer.label_fn).
+            bb_idx = parts.index("img_backbone")
+            child = parts[bb_idx + 1] if bb_idx + 1 < len(parts) else ""
+            if child in ("conv1", "conv1_s2d", "bn1") or \
+                    child.startswith("layer1_"):
+                continue  # the pruned (frozen) subtree
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
             err_msg="/".join(parts))

@@ -128,6 +128,49 @@ def test_bad_requests(server):
     assert code == 200  # server still healthy
 
 
+def test_serve_seg_model_emits_masks():
+    """RES serving end-to-end: a masks=True model served over HTTP returns
+    per-phrase mask stats in the ORIGINAL image frame, preserving the
+    reference's seg postproc semantics (upsample -> crop valid extent ->
+    resize to original; reftr_segmentation.py:282-302)."""
+    # hidden_dim=128 / nheads=8 so every MaskHeadSmallConv GroupNorm(8)
+    # channel count divides by 8 (see tests/test_seg_model.py::seg_setup)
+    mc = ModelConfig(backbone="resnet50", enc_layers=2, dec_layers=2,
+                     dim_feedforward=64, hidden_dim=128, nheads=8,
+                     bert=BertConfig.tiny(), aux_loss=False,
+                     dtype="float32", masks=True)
+    dc = DataConfig(dataset="synthetic", img_size=64, max_img_size=64,
+                    max_query_len=12)
+    cfg = RefTRConfig(model=mc, data=dc)
+    srv, batcher = build_server(cfg, host="127.0.0.1", port=0,
+                                serve_batch=2, batch_timeout_ms=5.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    rng = np.random.default_rng(5)
+    try:
+        code, body = get(base + "/healthz")
+        assert code == 200 and body["masks"] is True
+        code, body = post(base + "/predict", {
+            "image_b64": encode_image(rng, h=40, w=56),
+            "phrases": ["the blob", "its shadow"],
+        })
+        assert code == 200, body
+        results = body["results"]
+        assert [r["phrase"] for r in results] == ["the blob", "its shadow"]
+        for r in results:
+            # mask stats in the ORIGINAL (pre-resize) image frame
+            assert r["mask_shape"] == [40, 56]
+            assert 0 <= r["mask_area_px"] <= 40 * 56
+            x0, y0, x1, y1 = r["box_xyxy"]
+            assert 0 <= x0 <= x1 <= 56 + 1e-3
+            assert 0 <= y0 <= y1 <= 40 + 1e-3
+    finally:
+        srv.shutdown()
+        batcher.stop()
+        srv.server_close()
+
+
 def test_exported_artifact_backend():
     """The full deployment chain: export an AOT artifact, serve from it."""
     from reftr_tpu.tools.export_model import export_with_config

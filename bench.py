@@ -370,6 +370,191 @@ def bench_train(batch_size=32, optimized=False, uint8=False,
     }
 
 
+def bench_train_e2e(batch_size=32, steps=100, num_workers=4):
+    """End-to-end training throughput with the REAL input pipeline feeding
+    the chip: a disk-backed synthetic fixture at flagship geometry (640px
+    JPEGs) runs through the production DataLoader (JPEG decode -> resize ->
+    canvas pack, C++ image ops; engine_vg.py:228-291 is the reference's
+    equivalent prefetcher) into the fused train step. Unlike `train_u8`
+    (device-resident perturbed tensors), this measures what a user gets.
+
+    Extra keys: `input_stall_frac` = fraction of steady-state wall time the
+    host spends blocked waiting for the next batch (prefetch misses), and
+    `fetch_ms_mean` = mean per-step blocked-fetch time.
+    """
+    import os
+    import tempfile
+
+    import jax
+
+    from reftr_tpu.core.config import (DataConfig, LossConfig, ModelConfig,
+                                       RefTRConfig, TrainConfig)
+    from reftr_tpu.data.datasets import (SyntheticGroundingDataset,
+                                         write_synthetic_vocab)
+    from reftr_tpu.data.loader import DataLoader
+    from reftr_tpu.data.native import WordPieceTokenizer
+    from reftr_tpu.data.samplers import ShardedSampler
+    from reftr_tpu.models import build_model
+    from reftr_tpu.train.engine import _strip_target
+    from reftr_tpu.train.optimizer import build_optimizer
+    from reftr_tpu.train.schedules import build_schedule
+    from reftr_tpu.train.state import TrainState
+    from reftr_tpu.train.steps import donation_is_safe, make_train_step
+
+    mc = ModelConfig(dtype="bfloat16", aux_loss=True,
+                     space_to_depth_stem=True, fold_bn=True)
+    cfg = RefTRConfig(model=mc, data=DataConfig(dataset="synthetic"),
+                      train=TrainConfig(lr=1e-4))
+    vocab = write_synthetic_vocab(os.path.join(
+        tempfile.gettempdir(), "reftr_synth_vocab.txt"))
+    tokenizer = WordPieceTokenizer(vocab)
+    # 256 disk-backed 640px JPEGs; epochs loop until `steps` total steps.
+    # The axon tunnel memoizes identical program+args, but the train state
+    # advances every step so no dispatch repeats.
+    ds = SyntheticGroundingDataset(
+        tokenizer, n=256, img_size=cfg.data.img_size,
+        canvas=cfg.data.max_img_size, max_query_len=cfg.data.max_query_len)
+    fixture_dir = os.path.join(tempfile.gettempdir(), "reftr_e2e_fixture")
+    ds.export_images(fixture_dir)
+    loader = DataLoader(ds, batch_size,
+                        sampler=ShardedSampler(len(ds), shuffle=True),
+                        num_workers=num_workers, drop_last=True,
+                        device_put=jax.device_put)
+
+    model, wd = build_model(cfg)
+    sample_batch, _ = next(iter(loader))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 sample_batch)["params"]
+    tx = build_optimizer(mc, cfg.train,
+                         build_schedule(cfg.train, steps_per_epoch=1000))
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, wd, LossConfig(), world_size=1,
+                           donate=donation_is_safe())
+
+    def batches():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            yield from iter(loader)
+            epoch += 1
+
+    it = batches()
+    warmup = 5
+    m = None
+    for _ in range(warmup):  # compile + loader ramp-up
+        samples, targets = next(it)
+        state, m = step(state, samples, _strip_target(targets))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    fetch_s = 0.0
+    for _ in range(steps):
+        f0 = time.perf_counter()
+        samples, targets = next(it)  # host blocked on input here
+        fetch_s += time.perf_counter() - f0
+        state, m = step(state, samples, _strip_target(targets))
+    final_loss = float(m["loss"])  # device->host fetch bounds the timing
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), (
+        f"train step produced non-finite loss {final_loss}: the timing "
+        "would be measuring garbage")
+    ips = batch_size * steps / dt
+    return {
+        "metric": "train_e2e_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(
+            ips / A100_PYTORCH_TRAIN_BASELINE_IMG_PER_SEC, 3),
+        "input_stall_frac": round(fetch_s / dt, 4),
+        "fetch_ms_mean": round(fetch_s / steps * 1e3, 2),
+        "host_cores": os.cpu_count(),
+    }
+
+
+def bench_serve_pipeline(batch_size=32, n_requests=40, rows_per_req=16):
+    """Serving dispatch pipelining: drives tools/serve.py's MicroBatcher
+    directly (pre-tokenized requests; no HTTP/JPEG so the 1-core host's
+    preprocessing cost doesn't mask the dispatch path) with the double-
+    buffered overlap ON vs OFF, plus B=1-style sparse-request latency.
+
+    Overlap ON: batch N's device->host fetch (tunnel RTT) runs while batch
+    N+1 computes; OFF reproduces the round-3 behavior (fetch before next
+    dispatch)."""
+    import threading
+
+    from reftr_tpu.core.config import DataConfig, ModelConfig, RefTRConfig
+    from reftr_tpu.tools.serve import MicroBatcher, ServingModel, _Request
+
+    mc = ModelConfig(dtype="bfloat16", aux_loss=False, fold_bn=True,
+                     fold_normalize=True)
+    cfg = RefTRConfig(model=mc, data=DataConfig(dataset="synthetic"))
+    model = ServingModel(cfg, batch_size)
+    rng = np.random.default_rng(0)
+    d = cfg.data
+
+    def make_request(i, k=rows_per_req):
+        img = rng.integers(0, 255, size=(
+            k, d.max_img_size, d.max_img_size, 3)).astype(np.uint8)
+        img[:, 0, 0, 0] = i % 256  # defeat the tunnel memoization
+        sv = np.zeros((k, d.max_query_len), np.int32)
+        sv[:, :6] = 1
+        rows = {
+            "image": img,
+            "image_valid": np.ones((k, d.max_img_size, d.max_img_size),
+                                   bool),
+            "sentence": rng.integers(
+                1, mc.bert.vocab_size,
+                size=(k, d.max_query_len)).astype(np.int32),
+            "sentence_valid": sv,
+        }
+        return _Request(rows=rows, k=k, orig_hw=(480, 640),
+                        valid_hw=(480, 640), phrases=["p"] * k)
+
+    def run(pipeline, n=n_requests):
+        batcher = MicroBatcher(model, cfg, timeout_ms=1.0,
+                               pipeline=pipeline)
+        reqs = [make_request(1000 * (2 if pipeline else 1) + i)
+                for i in range(n)]
+        # warmup (compile + steady dispatch)
+        w = make_request(7)
+        batcher.submit(w)
+        w.done.wait(600)
+        t0 = time.perf_counter()
+        for r in reqs:
+            batcher.submit(r)
+        for r in reqs:
+            r.done.wait(600)
+        dt = time.perf_counter() - t0
+        assert all(r.error is None for r in reqs), \
+            [r.error for r in reqs if r.error][:1]
+        # light-load latency: sparse single requests, one at a time (the
+        # overlap must NOT regress this — the fetch happens immediately
+        # when the queue is empty)
+        lat = []
+        for i in range(10):
+            r = make_request(5000 + i, k=1)
+            t1 = time.perf_counter()
+            batcher.submit(r)
+            r.done.wait(600)
+            lat.append((time.perf_counter() - t1) * 1e3)
+        batcher.stop()
+        return rows_per_req * n / dt, float(np.percentile(lat, 50)), \
+            batcher.stats
+
+    ips_off, p50_off, stats_off = run(pipeline=False)
+    ips_on, p50_on, stats_on = run(pipeline=True)
+    return {
+        "metric": "serve_pipelined_images_per_sec_per_chip",
+        "value": round(ips_on, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips_on / A100_PYTORCH_BASELINE_IMG_PER_SEC, 3),
+        "no_overlap_img_per_sec": round(ips_off, 2),
+        "overlap_speedup": round(ips_on / ips_off, 3),
+        "dispatch_overlaps": stats_on["dispatch_overlaps"],
+        "sparse_p50_ms_on": round(p50_on, 2),
+        "sparse_p50_ms_off": round(p50_off, 2),
+    }
+
+
 def main():
     import jax
 
@@ -380,11 +565,13 @@ def main():
         b = int(sys.argv[2])
         import functools
 
-        global bench_rec, bench_seg, bench_train, bench_latency
+        global bench_rec, bench_seg, bench_train, bench_latency, \
+            bench_train_e2e
         bench_rec = functools.partial(bench_rec, batch_size=b)
         bench_seg = functools.partial(bench_seg, batch_size=b)
         bench_train = functools.partial(bench_train, batch_size=b)
         bench_latency = functools.partial(bench_latency, batch_size=b)
+        bench_train_e2e = functools.partial(bench_train_e2e, batch_size=b)
     if mode == "rec":
         # driver contract: the production serving config — fold_bn +
         # fold_normalize (exact reparameterizations) + full-scope int8 PTQ
@@ -401,6 +588,10 @@ def main():
         out = bench_train()
     elif mode == "train_opt":
         out = bench_train(optimized=True)
+    elif mode == "train_e2e":
+        # end-to-end: the production DataLoader (disk JPEGs, C++ decode/
+        # resize/pack) feeding the chip; reports input-stall fraction
+        out = bench_train_e2e()
     elif mode == "train_u8":
         # production input path: uint8 canvases, /255+normalize on device
         out = bench_train(optimized=True, uint8=True)
@@ -456,6 +647,9 @@ def main():
         out = bench_seg(fold_normalize=True)
     elif mode == "seg_int8":
         out = bench_seg(fold_normalize=True, quantize=True)
+    elif mode == "serve_pipeline":
+        # MicroBatcher double-buffered dispatch overlap, ON vs OFF
+        out = bench_serve_pipeline()
     elif mode == "latency":
         # p50/p90 per-image serving latency at B=1 (BASELINE.md target);
         # `python bench.py latency 8` measures per-image latency at B=8

@@ -93,10 +93,19 @@ class ServingModel:
 
             self._call = fwd
 
-    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def dispatch(self, batch: Dict[str, np.ndarray]):
+        """Submit a batch to the device WITHOUT fetching the result — jax
+        dispatch is async, so the host returns while the chip computes."""
+        return self._call(batch)
+
+    @staticmethod
+    def fetch(out) -> Dict[str, np.ndarray]:
         import jax
 
-        return jax.device_get(self._call(batch))
+        return jax.device_get(out)
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self.fetch(self.dispatch(batch))
 
 
 class MicroBatcher:
@@ -106,13 +115,16 @@ class MicroBatcher:
     its FIRST row arrived — bounded tail latency under light load, full
     MXU batches under heavy load."""
 
-    def __init__(self, model: ServingModel, cfg, timeout_ms: float = 5.0):
+    def __init__(self, model: ServingModel, cfg, timeout_ms: float = 5.0,
+                 pipeline: bool = True):
         self.model = model
         self.cfg = cfg
         self.timeout_s = timeout_ms / 1e3
+        self.pipeline = pipeline  # False: fetch each batch before the next
+        #                           dispatch (the pre-overlap behavior)
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "rows": 0, "batches": 0,
-                      "rows_in_batches": 0}
+                      "rows_in_batches": 0, "dispatch_overlaps": 0}
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="reftr-microbatcher")
@@ -132,11 +144,26 @@ class MicroBatcher:
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
+        # Double-buffered dispatch: while batch N computes on the device,
+        # the host collects batch N+1, dispatches it, and only THEN fetches
+        # N's results — the device never idles between batches, and N's
+        # device->host fetch (tunnel RTT) overlaps N+1's compute. Under
+        # light load (queue empty while one batch is in flight) the fetch
+        # happens immediately, so single-request latency is unchanged.
+        inflight = None  # (group, device_out)
         while not self._stop.is_set():
-            try:
-                first = self.q.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if inflight is not None:
+                try:
+                    first = self.q.get_nowait()
+                except queue.Empty:
+                    self._finish(*inflight)
+                    inflight = None
+                    continue
+            else:
+                try:
+                    first = self.q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             group = [first]
             used = first.k
             deadline = time.perf_counter() + self.timeout_s
@@ -155,11 +182,21 @@ class MicroBatcher:
                 group.append(nxt)
                 used += nxt.k
             try:
-                self._run_batch(group)
+                out = self.model.dispatch(self._pad_batch(group))
             except Exception as e:  # noqa: BLE001 — report to the client
                 for r in group:
                     r.error = f"{type(e).__name__}: {e}"
                     r.done.set()
+                continue
+            if inflight is not None:
+                self.stats["dispatch_overlaps"] += 1
+                self._finish(*inflight)  # overlaps `group` on the device
+            if self.pipeline:
+                inflight = (group, out)
+            else:
+                self._finish(group, out)
+        if inflight is not None:
+            self._finish(*inflight)
 
     def _pad_batch(self, group: List[_Request]) -> Dict[str, np.ndarray]:
         b = self.model.batch_size
@@ -178,12 +215,20 @@ class MicroBatcher:
             batch["image_valid"][n:] = True
         return batch
 
-    def _run_batch(self, group: List[_Request]) -> None:
+    def _finish(self, group: List[_Request], device_out) -> None:
+        """Fetch a dispatched batch's results and complete its requests."""
+        try:
+            self._postprocess(group, self.model.fetch(device_out))
+        except Exception as e:  # noqa: BLE001 — report to the client
+            for r in group:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
+
+    def _postprocess(self, group: List[_Request], out) -> None:
         import jax.numpy as jnp
 
         from reftr_tpu.models.postprocess import decode_boxes, segm_masks
 
-        out = self.model(self._pad_batch(group))
         self.stats["batches"] += 1
         self.stats["rows_in_batches"] += self.model.batch_size
         boxes = np.asarray(decode_boxes(jnp.asarray(

@@ -113,6 +113,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    choices=("float32", "bfloat16"))
     p.add_argument("--mesh_data", default=-1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--mesh_model_spans_processes", action="store_true",
+                   help="lay the mesh out model-major (cross-host tensor "
+                        "parallelism); input loading follows the mesh")
     p.add_argument("--use_pallas_attention", default=None,
                    choices=("auto", "on", "off"),
                    help="fused attention kernel; default auto (on for long"
@@ -265,6 +268,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     # mesh
     mesh.data = args.mesh_data
     mesh.model = args.mesh_model
+    mesh.model_spans_processes = args.mesh_model_spans_processes
     return cfg
 
 

@@ -209,6 +209,10 @@ class MeshConfig:
 
     data: int = -1  # -1: all devices on the data axis
     model: int = 1
+    # lay the mesh out model-major so the model axis crosses process
+    # boundaries (cross-host TP); input loading follows the mesh via
+    # parallel.sharding.loader_shards
+    model_spans_processes: bool = False
 
 
 @dataclass

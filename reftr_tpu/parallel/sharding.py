@@ -55,9 +55,72 @@ def create_mesh(cfg: MeshConfig | None = None,
     data = cfg.data if cfg.data > 0 else n // model
     assert data * model == n, (
         f"mesh {data}x{model} does not match {n} devices")
-    dev_array = mesh_utils.create_device_mesh((data, model),
-                                              devices=devices)
+    if cfg.model_spans_processes:
+        # Cross-host tensor parallelism: lay the mesh out model-major so
+        # the MODEL axis crosses process boundaries (devices are enumerated
+        # process-contiguously, so reshape(model, data).T puts consecutive
+        # processes' devices in the same data row). TP collectives then
+        # ride the inter-host links; input loading must be replicated per
+        # data shard — loader_shards() below computes the layout and
+        # train/loop.build_loaders + train/steps.shard_batch honor it.
+        dev_array = np.asarray(devices).reshape(model, data).T
+    else:
+        dev_array = mesh_utils.create_device_mesh((data, model),
+                                                  devices=devices)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def loader_shards(mesh: Mesh) -> tuple:
+    """(num_shards, shard_rank): how many distinct data-loading shards the
+    mesh needs and which one THIS process loads.
+
+    The reference's DDP world has exactly one layout — one loader shard per
+    process (util/misc.py:392-431). Under a (data, model) mesh the input
+    pipeline must follow the mesh instead: processes whose devices live in
+    the same data row(s) are REPLICAS of each other's input (the model axis
+    spans them) and must load identical data, so they share one loader
+    shard. Groups processes by the set of data rows their devices touch:
+
+      * classic layout (model within a process): every process has its own
+        rows -> (process_count, process_index) — the DDP semantics,
+      * model axis spanning processes (create_mesh model_spans_processes):
+        every process touches every row -> (1, 0) — all processes load the
+        full global batch,
+      * mixed (e.g. model=4 over 2-device hosts): each pair of processes
+        shares rows -> one shard per pair.
+
+    Raises if processes' row sets partially overlap (no consistent loader
+    assignment exists for such a mesh).
+    """
+    devs = mesh.devices  # [data, model] ndarray of Device
+    process_of = np.vectorize(lambda d: d.process_index)(devs)
+    return _loader_shards_from(process_of, jax.process_index())
+
+
+def _loader_shards_from(process_of: np.ndarray, me: int) -> tuple:
+    """Pure core of loader_shards: process_of[data, model] = process index
+    of each mesh slot; me = this process."""
+    rows_of: dict = {}
+    for di in range(process_of.shape[0]):
+        for pid in process_of[di]:
+            rows_of.setdefault(int(pid), set()).add(di)
+    groups: dict = {}
+    for pid, rows in rows_of.items():
+        groups.setdefault(frozenset(rows), []).append(pid)
+    ordered = sorted(groups, key=min)
+    seen: set = set()
+    for rows in ordered:
+        if rows & seen:
+            raise ValueError(
+                "unsupported mesh layout: processes' data rows partially "
+                f"overlap ({ {min(g): sorted(g) for g in groups.values()} })")
+        seen |= rows
+    for rank, rows in enumerate(ordered):
+        if me in groups[rows]:
+            return len(ordered), rank
+    # this process owns no device in the mesh (sub-mesh use); load nothing
+    # distinct — treat as rank 0 of a 1-shard layout
+    return 1, 0
 
 
 def param_spec(path: str, value: Any = None,

@@ -85,13 +85,20 @@ def build_tokenizer(cfg: RefTRConfig):
         f"under the data root or pass an explicit file path as bert_model")
 
 
-def build_loaders(cfg: RefTRConfig, tokenizer):
+def build_loaders(cfg: RefTRConfig, tokenizer, num_shards: int = 0,
+                  shard_rank: int = 0):
+    """num_shards/shard_rank: the input-pipeline sharding. Defaults to one
+    shard per process (the reference's DDP layout); run_training derives it
+    from the mesh via parallel.sharding.loader_shards so cross-host tensor
+    parallelism gets replicated loading within each model-parallel group."""
     d = cfg.data
+    if not num_shards:
+        num_shards, shard_rank = jax.process_count(), jax.process_index()
     train_ds = build_refer_dataset(d.train_split, d, tokenizer, train=True,
                                    masks=cfg.model.masks, seed=cfg.train.seed)
     sampler_cls = NodeShardedSampler if d.cache_mode else ShardedSampler
-    kwargs = dict(num_replicas=jax.process_count(),
-                  rank=jax.process_index(), seed=cfg.train.seed)
+    kwargs = dict(num_replicas=num_shards,
+                  rank=shard_rank, seed=cfg.train.seed)
     if d.cache_mode:
         kwargs.update(local_rank=0, local_size=1)
     train_loader = DataLoader(
@@ -149,11 +156,18 @@ def _load_pretrained(params, path: str, cfg: RefTRConfig):
 
 def run_training(cfg: RefTRConfig) -> Dict:
     initialize()
-    seed = cfg.train.seed + jax.process_index()
-    np.random.seed(seed)
+    mesh = create_mesh(cfg.mesh)
+    # Input sharding follows the MESH, not the process count: processes
+    # sharing a data row (model axis spanning hosts) are input replicas and
+    # must load — and augment — identical data, hence the shard_rank seed.
+    from reftr_tpu.parallel.sharding import loader_shards
+
+    n_shards, shard_rank = loader_shards(mesh)
+    np.random.seed(cfg.train.seed + shard_rank)
 
     tokenizer = build_tokenizer(cfg)
-    train_loader, test_loaders = build_loaders(cfg, tokenizer)
+    train_loader, test_loaders = build_loaders(cfg, tokenizer, n_shards,
+                                               shard_rank)
     steps_per_epoch = len(train_loader)
     master_print(f"Steps per training epoch: {steps_per_epoch}")
 
@@ -173,7 +187,6 @@ def run_training(cfg: RefTRConfig) -> Dict:
                                                 quantize_int8=False))
 
     model, wdict = build_model(fp_cfg)
-    mesh = create_mesh(cfg.mesh)
     world = mesh.shape["data"]
 
     sample_batch, _ = next(iter(train_loader))

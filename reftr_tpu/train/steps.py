@@ -12,6 +12,7 @@ batch) — equivalent to the reference's reduce_dict logging all-reduce
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
@@ -127,17 +128,33 @@ def make_eval_step(
     return jax.jit(step_fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _loader_shard_count(mesh: Mesh) -> int:
+    from reftr_tpu.parallel.sharding import loader_shards
+
+    return loader_shards(mesh)[0]
+
+
 def shard_batch(tree, mesh: Mesh):
     """Place a host batch with the leading axis sharded over 'data'.
 
-    Multi-host: each process holds its rank-local shard (the sampler gives
-    disjoint blocks), so the global batch is assembled from per-process
-    local data — the DDP semantics of the reference, where the effective
-    batch is world_size * batch_size."""
+    Multi-host: each process holds its loader-shard of the global batch
+    (parallel.sharding.loader_shards — one shard per process in the classic
+    DDP layout of the reference, util/misc.py:392-431; one shard per
+    replica GROUP when the model axis spans processes, where every process
+    in a group loaded identical data). The global batch is
+    n_shards * local_batch; make_array_from_process_local_data maps each
+    process's addressable slices onto its local rows in order, which
+    matches the samplers' contiguous rank blocks."""
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sh, x), tree)
+        n_shards = _loader_shard_count(mesh)
+
+        def make(x):
+            gshape = (x.shape[0] * n_shards,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+
+        return jax.tree_util.tree_map(make, tree)
     return jax.device_put(tree, sh)
 
 

@@ -52,7 +52,8 @@ cfg = RefTRConfig(
     data=DataConfig(dataset="synthetic", train_split="train",
                     test_splits=("val",), img_size=32, max_img_size=32,
                     max_query_len=12, batch_size=%(batch)d, num_workers=2),
-    mesh=MeshConfig(data=-1, model=1),
+    mesh=MeshConfig(data=%(mesh_data)d, model=%(mesh_model)d,
+                    model_spans_processes=%(spans)s),
     train=TrainConfig(lr=1e-3, epochs=2, warm_up_epoch=1,
                       lr_schedule="CosineWarmupLR", output_dir="",
                       seed=0, donate_state=False),
@@ -60,7 +61,7 @@ cfg = RefTRConfig(
 res = run_training(cfg)
 rank = jax.process_index()
 assert jax.process_count() == %(expect_procs)d, jax.process_count()
-assert jax.device_count() == 2, jax.device_count()
+assert jax.device_count() == %(expect_devices)d, jax.device_count()
 with open(os.path.join({out!r}, f"history_{{rank}}.json"), "w") as f:
     json.dump(res["history"], f)
 """
@@ -72,12 +73,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _write_child(tmp_path, name, batch, local_devices, expect_procs):
+def _write_child(tmp_path, name, batch, local_devices, expect_procs,
+                 mesh_data=-1, mesh_model=1, spans=False):
     path = os.path.join(str(tmp_path), name)
     with open(path, "w") as f:
         f.write(CHILD.format(repo=REPO, out=str(tmp_path)) % dict(
             batch=batch, local_devices=local_devices,
-            expect_procs=expect_procs))
+            expect_procs=expect_procs,
+            expect_devices=local_devices * expect_procs,
+            mesh_data=mesh_data, mesh_model=mesh_model, spans=spans))
     return path
 
 
@@ -125,4 +129,60 @@ def test_two_process_training_matches_single_process(tmp_path):
         assert mp_e["test_val_accuracy_iou0.5"] == pytest.approx(
             sp_e["test_val_accuracy_iou0.5"], abs=1e-6)
         assert mp_e["test_val_miou"] == pytest.approx(
+            sp_e["test_val_miou"], rel=1e-3)
+
+
+@pytest.mark.slow
+def test_cross_process_tensor_parallel_training(tmp_path):
+    """The MODEL axis spans the 2 processes (VERDICT r3 #7): mesh
+    data=2 x model=2 laid out model-major over 2 procs x 2 CPU devices, so
+    every TP collective (Megatron row/column matmul reductions) crosses the
+    process boundary. Input loading follows the mesh
+    (parallel.sharding.loader_shards): both processes are input replicas
+    and load the FULL global batch. Trajectory must match the same global
+    configuration run single-process on 4 devices (reference anchor: the
+    DDP runtime util/misc.py:392-431 — ours must hold under TP too)."""
+    from reftr_tpu.tools.launch import launch, parse_args
+
+    # --- 2 processes x 2 devices, model axis crossing, full batch each ---
+    child = _write_child(tmp_path, "child_tp.py", batch=256,
+                         local_devices=2, expect_procs=2,
+                         mesh_data=2, mesh_model=2, spans=True)
+    args = parse_args([
+        "--nproc_per_node", "2",
+        "--coordinator_port", str(_free_port()),
+        "--", sys.executable, child,
+    ])
+    rc = launch(args)
+    assert rc == 0
+    with open(tmp_path / "history_0.json") as f:
+        hist_tp = json.load(f)
+    with open(tmp_path / "history_1.json") as f:
+        hist_r1 = json.load(f)
+    for a, b in zip(hist_tp, hist_r1):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-6)
+
+    # --- 1 process x 4 devices, same (2, 2) mesh ---
+    child_sp = _write_child(tmp_path, "child_tp_sp.py", batch=256,
+                            local_devices=4, expect_procs=1,
+                            mesh_data=2, mesh_model=2)
+    env = dict(os.environ)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID", "RANK", "WORLD_SIZE", "LOCAL_RANK"):
+        env.pop(k, None)
+    proc = subprocess.run([sys.executable, child_sp], env=env,
+                          capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    with open(tmp_path / "history_0.json") as f:
+        hist_sp = json.load(f)
+
+    assert len(hist_tp) == len(hist_sp) == 2
+    for tp_e, sp_e in zip(hist_tp, hist_sp):
+        # same global batches and math; only device placement (and so float
+        # reduction order) differs between the two layouts
+        assert tp_e["train_loss"] == pytest.approx(
+            sp_e["train_loss"], rel=1e-3), (tp_e, sp_e)
+        assert tp_e["test_val_accuracy_iou0.5"] == pytest.approx(
+            sp_e["test_val_accuracy_iou0.5"], abs=1e-6)
+        assert tp_e["test_val_miou"] == pytest.approx(
             sp_e["test_val_miou"], rel=1e-3)

@@ -140,6 +140,47 @@ def test_param_spec_rules():
     assert param_spec("x/linear1/kernel", tensor_parallel=False) == P()
 
 
+def test_loader_shards_layouts():
+    """Input-pipeline sharding follows the mesh (cross-host TP support):
+    one loader shard per process in the classic DDP layout; one per
+    model-parallel replica group otherwise."""
+    from reftr_tpu.parallel.sharding import _loader_shards_from
+
+    # classic: 2 procs x 2 devices, mesh (data=2, model=2), model within
+    # a process -> DDP semantics
+    classic = np.array([[0, 0], [1, 1]])
+    assert _loader_shards_from(classic, 0) == (2, 0)
+    assert _loader_shards_from(classic, 1) == (2, 1)
+    # model axis spanning both processes -> every process loads everything
+    crossed = np.array([[0, 1], [0, 1]])
+    assert _loader_shards_from(crossed, 0) == (1, 0)
+    assert _loader_shards_from(crossed, 1) == (1, 0)
+    # mixed: model=4 over 2-device hosts -> one shard per process PAIR
+    mixed = np.array([[0, 0, 1, 1], [2, 2, 3, 3]])
+    for me, want in ((0, 0), (1, 0), (2, 1), (3, 1)):
+        assert _loader_shards_from(mixed, me) == (2, want)
+    # partial overlap has no consistent loader assignment
+    bad = np.array([[0, 1], [1, 2]])
+    with pytest.raises(ValueError):
+        _loader_shards_from(bad, 0)
+
+
+def test_model_spans_processes_mesh_layout():
+    """create_mesh(model_spans_processes=True) lays devices model-major:
+    on the single-process 8-CPU backend the device-id pattern must be the
+    transpose of the natural layout."""
+    mesh = create_mesh(MeshConfig(data=4, model=2,
+                                  model_spans_processes=True))
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    assert ids.shape == (4, 2)
+    # model-major: consecutive device ids run down the DATA axis
+    np.testing.assert_array_equal(ids, np.arange(8).reshape(2, 4).T)
+    # and the single-process grouping still yields one loader shard
+    from reftr_tpu.parallel.sharding import loader_shards
+
+    assert loader_shards(mesh) == (1, 0)
+
+
 # --------------------------------------------------------------------------
 # end-to-end: 8-device mesh training decreases the loss
 # --------------------------------------------------------------------------

@@ -59,7 +59,7 @@ def _dropout_keep(shape, rate, inv_keep):
 
 def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_ref, l_ref, acc_ref, *, scale, n_qb, n_kb,
-                  dropout_rate):
+                  dropout_rate, head_group):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -68,50 +68,64 @@ def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [BQ, D] f32
-    k = k_ref[0]  # [BK, D]
-    v = v_ref[0]  # [BK, D]
-    bias = bias_ref[0]  # [1, BK]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
+    bias = bias_ref[0]  # [1, BK], shared by all heads in the group
+    for hh in range(head_group):  # unrolled; amortizes grid/DMA overhead
+        q = q_ref[hh]  # [BQ, D] f32
+        k = k_ref[hh]  # [BK, D]
+        v = v_ref[hh]  # [BK, D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
 
-    m_prev = m_ref[...]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
-    # softmax denominator over UN-dropped p (torch drops after normalizing)
-    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    if dropout_rate > 0.0:
-        # Mosaic allows at most 2 seed words: pack the tile coordinates
-        # (same formula in all three kernels so the masks line up)
-        tile = (pl.program_id(0) * n_qb + pl.program_id(1)) * n_kb + kb
-        pltpu.prng_seed(seed_ref[0, 0], tile)
-        p = p * _dropout_keep(p.shape, dropout_rate, 1.0 / (1.0 - dropout_rate))
-    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    m_ref[...] = m_new
+        m_prev = m_ref[hh]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        # softmax denominator over UN-dropped p (torch drops after
+        # normalizing)
+        l_ref[hh] = l_ref[hh] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            # Mosaic allows at most 2 seed words: pack the tile coordinates
+            # (same formula in all three kernels so the masks line up; the
+            # head index folds in so any head_group draws the same masks)
+            tile = ((pl.program_id(0) * head_group + hh) * n_qb
+                    + pl.program_id(1)) * n_kb + kb
+            pltpu.prng_seed(seed_ref[0, 0], tile)
+            p = p * _dropout_keep(p.shape, dropout_rate,
+                                  1.0 / (1.0 - dropout_rate))
+        acc_ref[hh] = acc_ref[hh] * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[hh] = m_new
 
     @pl.when(kb == n_kb - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        o_ref[...] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = jnp.broadcast_to(
-                m_ref[...] + jnp.log(l_ref[...]), lse_ref.shape[1:])
+            lse_ref[...] = jnp.broadcast_to(
+                m_ref[...] + jnp.log(l_ref[...]), lse_ref.shape)
 
 
 def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
-         return_lse: bool = False, dropout_rate: float = 0.0, seed=None):
+         return_lse: bool = False, dropout_rate: float = 0.0, seed=None,
+         head_group: int = 1):
     """q: [B, H, Sq, D] f32; k/v: [B, H, Sk, D] f32; bias: [B, Sk] f32.
 
     With return_lse, additionally returns the row logsumexp as
     [B*H, Sq, LSE_LANES] f32 (value replicated across the lane dim).
     With dropout_rate > 0, seed is a traced int32 [1, 1] that (together
     with the tile coordinates) keys the attention-weight dropout mask.
+    head_group G > 1 processes G consecutive heads per grid step ([G, BQ,
+    D] tiles, in-kernel unrolled loop): same MXU work, G-times fewer grid
+    steps and G-times larger DMA transfers — the experiment for small
+    head_dim (32 fills 1/4 of the 128 MXU lanes; per-step overhead is the
+    recoverable part). Requires G | H; dropout masks are bit-identical
+    across G (the PRNG is seeded per absolute head).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
+    g = head_group if h % head_group == 0 else 1
 
     block_q = min(block_q, max(8, sq))
     block_k = min(block_k, max(128, sk))
@@ -131,22 +145,24 @@ def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
     vr = v.reshape(b * h, sk_p, d)
     n_kb = sk_p // block_k
 
-    grid = (b * h, sq_p // block_q, n_kb)
+    grid = (b * h // g, sq_p // block_q, n_kb)
     out_shape = [jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype)]
-    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0))]
+    out_specs = [pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0))]
     if return_lse:
         out_shape.append(
             jax.ShapeDtypeStruct((b * h, sq_p, LSE_LANES), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)))
+            pl.BlockSpec((g, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)))
     _k = functools.partial(_flash_kernel, scale=scale,
                            n_qb=sq_p // block_q, n_kb=n_kb,
-                           dropout_rate=dropout_rate)
+                           dropout_rate=dropout_rate, head_group=g)
+    hg = h // g  # head-groups per batch element (g | h, so bias is
+    #              constant within a group)
     in_specs = [
-        pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // hg, 0, kb)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((g, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((g, block_k, d), lambda i, j, kb: (i, kb, 0)),
     ]
     inputs = [bias[:, None, :], qr, kr, vr]
     if dropout_rate > 0.0:
@@ -170,9 +186,9 @@ def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running denom
-            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+            pltpu.VMEM((g, block_q, 1), jnp.float32),  # running max
+            pltpu.VMEM((g, block_q, 1), jnp.float32),  # running denom
+            pltpu.VMEM((g, block_q, d), jnp.float32),  # output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -197,47 +213,51 @@ def _xla_attention(q, k, v, bias):
 
 def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                    lse_ref, dq_ref, dq_acc, di_ref, *, scale, n_qb, n_kb,
-                   dropout_rate):
+                   dropout_rate, head_group):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
         # di_i = sum_d do_id * o_id (flash-2's rowsum(dO*O) = dL/dlse trick)
-        di_ref[...] = jnp.sum(do_ref[0] * o_ref[0], axis=-1, keepdims=True)
+        di_ref[...] = jnp.sum(do_ref[...] * o_ref[...], axis=-1,
+                              keepdims=True)
 
-    q = q_ref[0]   # [BQ, D]
-    k = k_ref[0]   # [BK, D]
-    v = v_ref[0]   # [BK, D]
-    do = do_ref[0]
     bias = bias_ref[0]  # [1, BK]
-    # lanes are replicas of the same row value; max collapses to [BQ, 1]
-    lse = jnp.max(lse_ref[0], axis=-1, keepdims=True)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
-    p = jnp.exp(s - lse)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [BQ, BK]
-    if dropout_rate > 0.0:
-        # regenerate the forward's mask for this exact tile
-        tile = (pl.program_id(0) * n_qb + pl.program_id(1)) * n_kb + kb
-        pltpu.prng_seed(seed_ref[0, 0], tile)
-        dp = dp * _dropout_keep(dp.shape, dropout_rate,
-                                1.0 / (1.0 - dropout_rate))
-    ds = p * (dp - di_ref[...])
-    dq_acc[...] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    for hh in range(head_group):
+        q = q_ref[hh]   # [BQ, D]
+        k = k_ref[hh]   # [BK, D]
+        v = v_ref[hh]   # [BK, D]
+        do = do_ref[hh]
+        # lanes are replicas of the same row value; max collapses to [BQ, 1]
+        lse = jnp.max(lse_ref[hh], axis=-1, keepdims=True)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BQ, BK]
+        if dropout_rate > 0.0:
+            # regenerate the forward's mask for this exact tile
+            tile = ((pl.program_id(0) * head_group + hh) * n_qb
+                    + pl.program_id(1)) * n_kb + kb
+            pltpu.prng_seed(seed_ref[0, 0], tile)
+            dp = dp * _dropout_keep(dp.shape, dropout_rate,
+                                    1.0 / (1.0 - dropout_rate))
+        ds = p * (dp - di_ref[hh])
+        dq_acc[hh] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)
     def _finalize():
-        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+        dq_ref[...] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                     lse_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, n_qb,
-                    n_kb, dropout_rate):
+                    n_kb, dropout_rate, head_group):
     qb = pl.program_id(2)
 
     @pl.when(qb == 0)
@@ -245,52 +265,59 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]   # [BQ, D]
-    k = k_ref[0]   # [BK, D]
-    v = v_ref[0]
-    do = do_ref[0]
     bias = bias_ref[0]  # [1, BK]
-    lse = jnp.max(lse_ref[0], axis=-1, keepdims=True)  # [BQ, 1]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
-    p = jnp.exp(s - lse)
-    if dropout_rate > 0.0:
-        # tile coords here are (i, kb=program_id(1), qb=program_id(2)):
-        # pack in (i, q-tile, k-tile) order to match the forward/dq kernels
-        tile = (pl.program_id(0) * n_qb + qb) * n_kb + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0, 0], tile)
-        keep = _dropout_keep(p.shape, dropout_rate,
-                             1.0 / (1.0 - dropout_rate))
-    else:
-        keep = None
-    dv_acc[...] += jax.lax.dot_general(
-        p if keep is None else p * keep, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [BK, D]
-    di = jnp.sum(do * o_ref[0], axis=-1, keepdims=True)  # [BQ, 1]
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [BQ, BK]
-    if keep is not None:
-        dp = dp * keep
-    ds = p * (dp - di)
-    dk_acc[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    for hh in range(head_group):
+        q = q_ref[hh]   # [BQ, D]
+        k = k_ref[hh]   # [BK, D]
+        v = v_ref[hh]
+        do = do_ref[hh]
+        lse = jnp.max(lse_ref[hh], axis=-1, keepdims=True)  # [BQ, 1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
+        p = jnp.exp(s - lse)
+        if dropout_rate > 0.0:
+            # tile coords here are (i, kb=program_id(1), qb=program_id(2)):
+            # pack in (head, q-tile, k-tile) order to match the forward/dq
+            # kernels
+            tile = ((pl.program_id(0) * head_group + hh) * n_qb
+                    + qb) * n_kb + pl.program_id(1)
+            pltpu.prng_seed(seed_ref[0, 0], tile)
+            keep = _dropout_keep(p.shape, dropout_rate,
+                                 1.0 / (1.0 - dropout_rate))
+        else:
+            keep = None
+        dv_acc[hh] += jax.lax.dot_general(
+            p if keep is None else p * keep, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BK, D]
+        di = jnp.sum(do * o_ref[hh], axis=-1, keepdims=True)  # [BQ, 1]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BQ, BK]
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - di)
+        dk_acc[hh] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(qb == n_qb - 1)
     def _finalize():
-        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_ref[...] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
-         interpret: bool, dropout_rate: float = 0.0, seed=None):
+         interpret: bool, dropout_rate: float = 0.0, seed=None,
+         head_group: int = 1):
     """Flash-2 backward. All of q/do/o: [B,H,Sq,D]; k/v: [B,H,Sk,D] f32;
     bias: [B,Sk] f32; lse: [B*H, Sq, LSE_LANES] f32. Returns (dq, dk, dv).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
+    g = head_group if h % head_group == 0 else 1
+    hg = h // g
 
     block_q = min(block_q, max(8, sq))
     block_k = min(block_k, max(128, sk))
@@ -321,29 +348,31 @@ def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
         dimension_semantics=("parallel", "parallel", "arbitrary"))
 
     dq_in_specs = [
-        pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
-        pl.BlockSpec((1, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // hg, 0, kb)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((g, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((g, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0)),
+        pl.BlockSpec((g, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)),
     ]
     dkv_in_specs = [
-        pl.BlockSpec((1, 1, block_k), lambda i, j, qb: (i // h, 0, j)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, qb: (i, qb, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, qb: (i, qb, 0)),
-        pl.BlockSpec((1, block_q, d), lambda i, j, qb: (i, qb, 0)),
-        pl.BlockSpec((1, block_q, LSE_LANES), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda i, j, qb: (i // hg, 0, j)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((g, block_k, d), lambda i, j, qb: (i, j, 0)),
+        pl.BlockSpec((g, block_k, d), lambda i, j, qb: (i, j, 0)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((g, block_q, d), lambda i, j, qb: (i, qb, 0)),
+        pl.BlockSpec((g, block_q, LSE_LANES), lambda i, j, qb: (i, qb, 0)),
     ]
     dq_inputs = [biasr, qr, kr, vr, dor, orr, lse]
     dkv_inputs = list(dq_inputs)
     dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale, n_qb=n_qb,
-                                  n_kb=n_kb, dropout_rate=dropout_rate)
+                                  n_kb=n_kb, dropout_rate=dropout_rate,
+                                  head_group=g)
     dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale, n_qb=n_qb,
-                                   n_kb=n_kb, dropout_rate=dropout_rate)
+                                   n_kb=n_kb, dropout_rate=dropout_rate,
+                                   head_group=g)
     if dropout_rate > 0.0:
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         dq_in_specs.insert(0, smem)
@@ -357,13 +386,13 @@ def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
 
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b * h, n_qb, n_kb),
+        grid=(b * h // g, n_qb, n_kb),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+        out_specs=pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),  # dq accumulator
-            pltpu.VMEM((block_q, 1), jnp.float32),  # di rows
+            pltpu.VMEM((g, block_q, d), jnp.float32),  # dq accumulator
+            pltpu.VMEM((g, block_q, 1), jnp.float32),  # di rows
         ],
         compiler_params=params,
         interpret=interpret,
@@ -371,19 +400,19 @@ def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b * h, n_kb, n_qb),
+        grid=(b * h // g, n_kb, n_qb),
         in_specs=dkv_in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j, qb: (i, j, 0)),
+            pl.BlockSpec((g, block_k, d), lambda i, j, qb: (i, j, 0)),
+            pl.BlockSpec((g, block_k, d), lambda i, j, qb: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),  # dk accumulator
-            pltpu.VMEM((block_k, d), jnp.float32),  # dv accumulator
+            pltpu.VMEM((g, block_k, d), jnp.float32),  # dk accumulator
+            pltpu.VMEM((g, block_k, d), jnp.float32),  # dv accumulator
         ],
         compiler_params=params,
         interpret=interpret,
@@ -401,15 +430,16 @@ BWD_BLOCK_Q = 256
 BWD_BLOCK_K = 512
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _attention(q, k, v, bias, seed, block_q, block_k, interpret,
-               dropout_rate):
+               dropout_rate, head_group):
     return _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
-                interpret=interpret, dropout_rate=dropout_rate, seed=seed)
+                interpret=interpret, dropout_rate=dropout_rate, seed=seed,
+                head_group=head_group)
 
 
 def _attention_fwd(q, k, v, bias, seed, block_q, block_k, interpret,
-                   dropout_rate):
+                   dropout_rate, head_group):
     if dropout_rate > 0.0:
         # dropout masks are keyed by tile coordinates: forward and backward
         # must tile identically, so run the forward at the backward blocks
@@ -417,17 +447,19 @@ def _attention_fwd(q, k, v, bias, seed, block_q, block_k, interpret,
         block_k = min(block_k, BWD_BLOCK_K)
     out, lse = _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
                     interpret=interpret, return_lse=True,
-                    dropout_rate=dropout_rate, seed=seed)
+                    dropout_rate=dropout_rate, seed=seed,
+                    head_group=head_group)
     return out, (q, k, v, bias, seed, out, lse)
 
 
-def _attention_bwd(block_q, block_k, interpret, dropout_rate, res, g):
+def _attention_bwd(block_q, block_k, interpret, dropout_rate, head_group,
+                   res, g):
     q, k, v, bias, seed, o, lse = res
     dq, dk, dv = _bwd(q, k, v, bias, o, lse, g.astype(jnp.float32),
                       block_q=min(block_q, BWD_BLOCK_Q),
                       block_k=min(block_k, BWD_BLOCK_K),
                       interpret=interpret, dropout_rate=dropout_rate,
-                      seed=seed)
+                      seed=seed, head_group=head_group)
     # bias is derived from a boolean validity mask (jnp.where on bools), so
     # its cotangent can never reach a trainable leaf; skip computing it.
     # seed is integer-typed: no cotangent.
@@ -449,6 +481,13 @@ def fused_attention(
     interpret: Optional[bool] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jnp.ndarray] = None,  # PRNG key, required if rate>0
+    # heads processed per grid step (must divide H, else falls back to 1):
+    # amortizes grid/DMA overhead when head_dim is small; numerics and
+    # dropout masks are bit-identical across values — see _fwd. Measured
+    # on v5e at D=32 (PERFORMANCE.md "Head-packed kernel"): g=2 is +3-4%
+    # fwd (S=2048/8540) and +7-8% fwd+bwd over g=1; g>=4 OOMs VMEM at the
+    # production (512, 1024) blocks, hence 2 as the default.
+    head_group: int = 2,
 ) -> jnp.ndarray:
     """Returns [B, Sq, H, D].
 
@@ -484,7 +523,7 @@ def fused_attention(
     kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
     vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
     out = _attention(qt, kt, vt, bias, seed, block_q, block_k, interpret,
-                     float(dropout_rate))
+                     float(dropout_rate), int(head_group))
     return out.transpose(0, 2, 1, 3).astype(in_dtype)
 
 

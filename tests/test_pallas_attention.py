@@ -41,6 +41,29 @@ def test_fused_no_mask(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_head_group_matches_ungrouped(rng):
+    """head_group > 1 (G heads per grid step) is a pure scheduling change:
+    outputs and gradients match head_group=1 exactly-ish, including when
+    G does not divide H (silent fallback to 1)."""
+    q, k, v, valid = make_qkv(rng, b=2, sq=30, sk=40, h=4)
+
+    for g in (2, 4, 3):  # 3 does not divide 4 -> fallback
+        out1 = np.asarray(fused_attention(q, k, v, valid, interpret=True))
+        outg = np.asarray(fused_attention(q, k, v, valid, interpret=True,
+                                          head_group=g))
+        np.testing.assert_allclose(outg, out1, rtol=1e-6, atol=1e-6)
+
+    def loss(hg):
+        def f(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, valid, interpret=True,
+                                           head_group=hg) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(loss(2), loss(1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fused_gradients_match(rng):
     q, k, v, valid = make_qkv(rng, b=1, sq=16, sk=24)
     bias = np.where(valid[:1], 0.0, -1e9).astype(np.float32)

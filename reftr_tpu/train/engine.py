@@ -34,6 +34,22 @@ def _strip_target(t: Dict) -> Dict:
     return {k: v for k, v in t.items() if k not in TRAIN_KEYS_EXCLUDE}
 
 
+def _log_train_metrics(metrics, weight_dict, logger, print_fn) -> None:
+    """Host-convert one step's metrics, NaN-tripwire, and log. Loss
+    components are logged SCALED by their loss weight under the plain
+    names — the reference convention (engine_vg.py logs
+    loss_dict_reduced_scaled) and what evaluate() below reports, so
+    train/eval loss_bbox etc. are directly comparable."""
+    host = {k: float(v) for k, v in metrics.items()}
+    if not math.isfinite(host["loss"]):
+        print_fn(f"Loss is {host['loss']}, stopping training")
+        sys.exit(1)
+    if weight_dict:
+        host = {k: v * weight_dict[k] if k in weight_dict else v
+                for k, v in host.items()}
+    logger.update(**host)
+
+
 def train_one_epoch(
     train_step,
     state,
@@ -77,21 +93,13 @@ def train_one_epoch(
         # convert the PREVIOUS step's metrics while this one runs — the host
         # never blocks on the step it just dispatched
         if prev_metrics is not None:
-            host = {k: float(v) for k, v in prev_metrics.items()}
-            if not math.isfinite(host["loss"]):
-                print_fn(f"Loss is {host['loss']}, stopping training")
-                sys.exit(1)
-            logger.update(**host)
+            _log_train_metrics(prev_metrics, weight_dict, logger, print_fn)
         prev_metrics = metrics
         i += 1
     if tracing:
         jax.profiler.stop_trace()
     if prev_metrics is not None:
-        host = {k: float(v) for k, v in prev_metrics.items()}
-        if not math.isfinite(host["loss"]):
-            print_fn(f"Loss is {host['loss']}, stopping training")
-            sys.exit(1)
-        logger.update(**host)
+        _log_train_metrics(prev_metrics, weight_dict, logger, print_fn)
     logger.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 

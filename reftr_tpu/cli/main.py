@@ -52,6 +52,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--reftr_type", default="transformer_single_phrase")
     p.add_argument("--pretrained_model", type=str, default=None)
     p.add_argument("--freeze_backbone", action="store_true")
+    # FROM-SCRATCH deviation (no reference counterpart): train stem+layer1
+    # at lr_backbone instead of the reference's unconditional freeze, which
+    # assumes an ImageNet init (backbone.py:85-89). See core/config.py.
+    p.add_argument("--train_stem", action="store_true")
     p.add_argument("--ablation", type=str, default="none")
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true")
@@ -187,6 +191,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     # lr_backbone <= 0 freezes layer2-4 too (backbone.py:85-89); telling the
     # model lets it prune the whole backbone backward with stop_gradient
     m.freeze_backbone = args.freeze_backbone or args.lr_backbone <= 0
+    m.train_stem = args.train_stem and not m.freeze_backbone
     m.freeze_bert = args.freeze_bert
     m.bert_model = args.bert_model
     from reftr_tpu.core.config import BertConfig

@@ -94,6 +94,13 @@ class ModelConfig:
     # frozen params out of the global clip norm, like torch's clip which
     # skips grad=None params. Off switch for A/B measurement only.
     stop_grad_frozen: bool = True
+    # FROM-SCRATCH deviation: train stem+layer1 (at lr_backbone) instead of
+    # the reference's unconditional freeze (backbone.py:85-89). The
+    # reference freezes them because they are ImageNet-pretrained; when no
+    # pretrained init exists, freezing RANDOM features starves the VL
+    # encoder of image signal and training collapses into the
+    # language-only basin (PERFORMANCE.md "Flagship-geometry training").
+    train_stem: bool = False
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128

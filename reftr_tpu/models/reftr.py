@@ -94,10 +94,12 @@ class RefTR(nn.Module):
         # torch-parity backward pruning: stem+layer1 are ALWAYS frozen
         # (backbone.py:85-89 — requires_grad=False, so torch never runs
         # their backward); a fully frozen backbone prunes every stage.
+        # train_stem (from-scratch deviation, see core/config.py) lifts
+        # the stem+layer1 stop_gradient.
         if mc.stop_grad_frozen:
             stop_stages = ((1, 2, 3, 4)
                            if (mc.freeze_backbone or mc.freeze_reftr)
-                           else (1,))
+                           else () if mc.train_stem else (1,))
         else:
             stop_stages = ()
         self.img_backbone = ResNet(

@@ -64,8 +64,9 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
                 return "frozen"
             bb_idx = parts.index("img_backbone")
             child = parts[bb_idx + 1] if bb_idx + 1 < len(parts) else ""
-            if child in ("conv1", "conv1_s2d", "bn1") or \
-                    child.startswith("layer1_"):
+            if not model_cfg.train_stem and (
+                    child in ("conv1", "conv1_s2d", "bn1")
+                    or child.startswith("layer1_")):
                 return "frozen"
         if match(path, train_cfg.lr_backbone_names):
             return "backbone" if train_backbone else "frozen"

@@ -98,6 +98,32 @@ def test_trainable_grads_unchanged_by_pruning():
             err_msg="/".join(parts))
 
 
+def test_train_stem_unfreezes_stem_and_layer1():
+    """--train_stem (from-scratch deviation, core/config.py): stem+layer1
+    receive real gradients and the optimizer labels them 'backbone'
+    (trained at lr_backbone) instead of 'frozen'."""
+    mc = tiny_model_config(train_stem=True)
+    model = RefTR(mc)
+    rng = np.random.default_rng(5)
+    batch = single_phrase_batch(rng)
+    params = _randomize_bbox_head(
+        model.init(jax.random.PRNGKey(0), batch)["params"])
+    g = _grads(model, params, batch)
+    bb = g["img_backbone"]
+    conv_leaves = {k: v for k, v in bb.items()
+                   if k in ("conv1",) or k.startswith("layer1_")}
+    assert _tree_absmax(conv_leaves) > 0.0
+
+    labels = label_fn(mc, TrainConfig())(params)
+    lb = labels["img_backbone"]
+    assert lb["conv1"]["kernel"] == "backbone"
+    flat = jax.tree_util.tree_leaves_with_path(
+        {k: v for k, v in lb.items() if k.startswith("layer1_")})
+    vals = {leaf for _, leaf in flat}
+    # conv kernels train; FrozenBN scale/bias/mean/var stay buffers
+    assert "backbone" in vals and vals <= {"backbone", "frozen"}
+
+
 def test_freeze_bert_prunes_language_backward():
     mc = tiny_model_config(freeze_bert=True)
     model = RefTR(mc)

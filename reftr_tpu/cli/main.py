@@ -78,6 +78,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_lang_seq", default=128, type=int)
     p.add_argument("--num_queries_per_phrase", default=1, type=int)
     p.add_argument("--aux_loss", action="store_true")
+    # pre-LN transformer blocks (transformer.py:24 normalize_before — the
+    # reference supports it but never exposes a flag; DETR's --pre_norm).
+    # Post-LN is the parity default; pre-LN is the from-scratch-trainable
+    # variant (see PERFORMANCE.md flagship-training investigation).
+    p.add_argument("--pre_norm", action="store_true")
     # losses
     p.add_argument("--mask_loss_coef", default=1.0, type=float)
     p.add_argument("--dice_loss_coef", default=1.0, type=float)
@@ -96,6 +101,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default="./data", type=str)
     p.add_argument("--num_workers", default=2, type=int)
     p.add_argument("--cache_mode", action="store_true")
+    p.add_argument("--synthetic_n", default=256, type=int,
+                   help="synthetic-fixture train-set size (val stays 64); "
+                        "items generate lazily, large n is free in RAM")
     p.add_argument("--synthetic_box_frac", default=[1 / 6, 1 / 3],
                    type=float, nargs=2,
                    help="synthetic-fixture box side range (fraction of"
@@ -204,6 +212,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.max_lang_seq = args.max_lang_seq
     m.num_queries_per_phrase = args.num_queries_per_phrase
     m.aux_loss = args.aux_loss
+    m.normalize_before = args.pre_norm
     m.ablation = args.ablation
     m.dtype = args.dtype
     m.use_pallas_attention = {None: None, "auto": None, "on": True,
@@ -238,6 +247,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     d.num_workers = args.num_workers
     d.cache_mode = args.cache_mode
     d.synthetic_box_frac = tuple(args.synthetic_box_frac)
+    d.synthetic_n = args.synthetic_n
     d.multi_phrase = args.dataset == "flickr30k"
     # train
     t.lr = args.lr

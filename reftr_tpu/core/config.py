@@ -206,6 +206,10 @@ class DataConfig:
     # calibrated learning recipe uses (0.25, 0.5) so IoU@0.5 tests
     # localization rather than sub-stride precision (tests/test_learning.py)
     synthetic_box_frac: Tuple[float, float] = (1 / 6, 1 / 3)
+    # synthetic-fixture TRAIN set size (val is fixed at 64). Items are
+    # generated lazily per index, so large n (a from-scratch pretraining
+    # stream) costs no host RAM.
+    synthetic_n: int = 256
 
 
 @dataclass

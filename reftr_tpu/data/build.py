@@ -70,7 +70,8 @@ def build_refer_dataset(split: str, cfg: DataConfig,
 
     if cfg.dataset == "synthetic":
         return SyntheticGroundingDataset(
-            tokenizer, n=256 if train else 64, img_size=cfg.img_size,
+            tokenizer, n=cfg.synthetic_n if train else 64,
+            img_size=cfg.img_size,
             canvas=cfg.max_img_size, max_query_len=cfg.max_query_len,
             with_masks=masks, seed=seed,
             box_frac=tuple(cfg.synthetic_box_frac))

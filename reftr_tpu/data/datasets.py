@@ -382,7 +382,10 @@ class SyntheticGroundingDataset:
         # sub-stride precision test
         self.box_frac = box_frac
         self.rng = np.random.default_rng(seed)
-        self._items = [self._make(i) for i in range(n)]
+        # items are generated LAZILY and deterministically per index
+        # (_make seeds its own rng with the index), so n can be large —
+        # e.g. a from-scratch pretraining stream — without materializing
+        # n canvases in host RAM.
         self._paths: Optional[List[str]] = None
 
     def export_images(self, out_dir: str) -> List[str]:
@@ -393,10 +396,10 @@ class SyntheticGroundingDataset:
 
         os.makedirs(out_dir, exist_ok=True)
         paths = []
-        for i, (img, _, _, _) in enumerate(self._items):
+        for i in range(self.n):
             p = osp.join(out_dir, f"synth_{i:05d}.jpg")
             if not osp.exists(p):
-                Image.fromarray(img).save(p, quality=95)
+                Image.fromarray(self._make(i)[0]).save(p, quality=95)
             paths.append(p)
         self._paths = paths
         return paths
@@ -433,7 +436,7 @@ class SyntheticGroundingDataset:
         return self.n
 
     def __getitem__(self, idx: int):
-        img, phrase, box, mask = self._items[idx]
+        img, phrase, box, mask = self._make(idx)
         if self._paths is not None:
             img = _load_image(self._paths[idx])
         ts = transform_sample(img, box[None], self.img_size, self.canvas,

@@ -371,6 +371,10 @@ class SyntheticGroundingDataset:
                  with_masks: bool = False, seed: int = 0,
                  canvas: Optional[int] = None,
                  box_frac: Tuple[float, float] = (1 / 6, 1 / 3)):
+        # NB: `seed` is accepted for builder-signature uniformity but is
+        # UNUSED — item content is a pure function of the index (_make),
+        # so the fixture is identical across runs and seeds by design.
+        del seed
         self.tokenizer = tokenizer
         self.n = n
         self.img_size = img_size
@@ -381,7 +385,6 @@ class SyntheticGroundingDataset:
         # test uses larger boxes so IoU@0.5 is a localization test, not a
         # sub-stride precision test
         self.box_frac = box_frac
-        self.rng = np.random.default_rng(seed)
         # items are generated LAZILY and deterministically per index
         # (_make seeds its own rng with the index), so n can be large —
         # e.g. a from-scratch pretraining stream — without materializing

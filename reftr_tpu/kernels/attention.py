@@ -502,6 +502,8 @@ def fused_attention(
         raise NotImplementedError(
             "kernel dropout needs the TPU PRNG; interpret mode (CPU) has "
             "no use for the pallas path — use the XLA attention instead")
+    if head_group < 1:
+        raise ValueError(f"head_group must be >= 1, got {head_group}")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if valid_mask is None:

@@ -213,6 +213,54 @@ def quantize_dense_params(tree: Dict, calib: Dict) -> Dict:
     return walk(tree, calib)
 
 
+# Activation absmax beyond this indicates a broken fp model (normalized
+# images / relu features / layer-normed hidden states all live far below);
+# a calibration leaf outside (0, CEILING) would bake a nonsense in_scale
+# into the int8 twin, so fail loudly instead.
+CALIB_ABSMAX_CEILING = 1e6
+
+
+def validate_calibration(calib: Dict) -> None:
+    """Every calibrated absmax must be finite, > 0, and sane.
+
+    Zero absmax (a dead activation over all calibration batches) would give
+    the epsilon-floored scale in quantize_*_kernel, silently quantizing the
+    whole tensor to 0 at serving time; NaN/inf would poison every output."""
+    bad = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(calib):
+        arr = np.asarray(leaf)
+        mx = float(np.max(arr)) if arr.size else 0.0
+        if not np.isfinite(arr).all() or mx <= 0.0 \
+                or mx > CALIB_ABSMAX_CEILING:
+            bad.append((jax.tree_util.keystr(path), mx))
+    if bad:
+        raise ValueError(
+            "int8 PTQ calibration produced invalid activation absmax "
+            f"(must be finite, > 0, <= {CALIB_ABSMAX_CEILING:g}): {bad[:8]}")
+
+
+def calibration_drift(calib: Dict, observed: Dict,
+                      factor: float = 2.0) -> list:
+    """Leaves where a later batch's activation absmax exceeds the
+    calibrated absmax by more than `factor` — inputs there saturate the
+    int8 clip and accuracy may drift. Returns [(path, calibrated,
+    observed), ...]. Calibration so far is validated on the synthetic
+    fixture only; real-data activation distributions (natural images) are
+    the untested risk this guard exists to surface (PERFORMANCE.md)."""
+    drift = []
+
+    def cmp(path, c, o):
+        cm = float(np.max(np.asarray(c)))
+        om = float(np.max(np.asarray(o)))
+        if om > factor * cm:
+            drift.append((jax.tree_util.keystr(path), cm, om))
+        return c
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, c, o: cmp(p, c, o), calib, observed)
+    return drift
+
+
 def calibrate_and_quantize(cfg, params: Dict, loader, mesh=None,
                            n_batches: int = 4, print_fn=print) -> Dict:
     """Eval-time PTQ: run `n_batches` through the fp model recording
@@ -242,14 +290,25 @@ def calibrate_and_quantize(cfg, params: Dict, loader, mesh=None,
         return var["calib"]
 
     absmax = None
+    holdout = None
     for i, (batch, _targets) in enumerate(loader):
         if i >= n_batches:
+            holdout = batch  # first uncalibrated batch: drift probe below
             break
         c = jax.device_get(calib_step(params, batch))
         absmax = c if absmax is None else jax.tree_util.tree_map(
             np.maximum, absmax, c)
     if absmax is None:
         raise ValueError("calibration loader yielded no batches")
+    validate_calibration(absmax)
+    if holdout is not None:
+        drift = calibration_drift(
+            absmax, jax.device_get(calib_step(params, holdout)))
+        for path, cm, om in drift[:8]:
+            print_fn(f"int8 PTQ WARNING: activation absmax drift at {path}: "
+                     f"calibrated {cm:.3g}, observed {om:.3g} (> 2x) — "
+                     "inputs saturate the int8 clip; recalibrate with more "
+                     "batches or widen quant_calib_batches")
     print_fn(f"int8 PTQ: calibrated on {min(i + 1, n_batches)} batches; "
              "quantizing backbone convs")
     out = quantize_params(params, absmax, scope=cfg.model.quantize_scope)

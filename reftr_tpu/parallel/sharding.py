@@ -114,6 +114,16 @@ def _loader_shards_from(process_of: np.ndarray, me: int) -> tuple:
             raise ValueError(
                 "unsupported mesh layout: processes' data rows partially "
                 f"overlap ({ {min(g): sorted(g) for g in groups.values()} })")
+        # shard_batch relies on make_array_from_process_local_data mapping
+        # each process's local rows onto the global batch IN ORDER, which
+        # is only the samplers' contiguous-block semantics if every group's
+        # rows form a contiguous range; an interleaved layout would scramble
+        # samples across shards.
+        if max(rows) - min(rows) + 1 != len(rows):
+            raise ValueError(
+                "unsupported mesh layout: a process group's data rows are "
+                f"not contiguous ({sorted(rows)}); loader shards require "
+                "contiguous row blocks per process group")
         seen |= rows
     for rank, rows in enumerate(ordered):
         if me in groups[rows]:

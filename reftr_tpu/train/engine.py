@@ -39,14 +39,17 @@ def _log_train_metrics(metrics, weight_dict, logger, print_fn) -> None:
     components are logged SCALED by their loss weight under the plain
     names — the reference convention (engine_vg.py logs
     loss_dict_reduced_scaled) and what evaluate() below reports, so
-    train/eval loss_bbox etc. are directly comparable."""
+    train/eval loss_bbox etc. are directly comparable. Loss components
+    NOT in weight_dict are dropped, mirroring evaluate()'s filtering, so
+    both paths report the same set of (scaled) keys; non-loss metrics
+    (grad_norm, lr, the total loss) pass through unscaled."""
     host = {k: float(v) for k, v in metrics.items()}
     if not math.isfinite(host["loss"]):
         print_fn(f"Loss is {host['loss']}, stopping training")
         sys.exit(1)
-    if weight_dict:
-        host = {k: v * weight_dict[k] if k in weight_dict else v
-                for k, v in host.items()}
+    host = {k: v * weight_dict[k] if k in weight_dict else v
+            for k, v in host.items()
+            if k in weight_dict or not k.startswith("loss_")}
     logger.update(**host)
 
 
@@ -57,7 +60,8 @@ def train_one_epoch(
     epoch: int,
     mesh=None,
     print_freq: int = 50,
-    weight_dict: Optional[Dict[str, float]] = None,
+    *,
+    weight_dict: Dict[str, float],
     print_fn=print,
     profile_dir: str = "",
     profile_steps=(10, 15),

@@ -225,3 +225,28 @@ def test_quantize_rejects_training():
     cfg.model.quantize_int8 = True
     with pytest.raises(ValueError, match="serving/eval"):
         run_training(cfg)
+
+
+def test_validate_calibration_rejects_bad_absmax():
+    from reftr_tpu.nn.quant import validate_calibration
+
+    good = {"layer1": {"conv1_in": np.array(3.2, np.float32)}}
+    validate_calibration(good)  # no raise
+    for bad_leaf in (np.float32(0.0), np.float32(np.nan),
+                     np.float32(np.inf), np.float32(1e9)):
+        with pytest.raises(ValueError, match="invalid activation absmax"):
+            validate_calibration(
+                {"layer1": {"conv1_in": np.asarray(bad_leaf)}})
+
+
+def test_calibration_drift_flags_saturating_inputs():
+    from reftr_tpu.nn.quant import calibration_drift
+
+    calib = {"a": {"c_in": np.array(1.0, np.float32)},
+             "b": {"c_in": np.array(4.0, np.float32)}}
+    obs = {"a": {"c_in": np.array(2.5, np.float32)},   # > 2x -> flagged
+           "b": {"c_in": np.array(7.0, np.float32)}}   # < 2x -> fine
+    drift = calibration_drift(calib, obs)
+    assert len(drift) == 1
+    path, cm, om = drift[0]
+    assert "a" in path and cm == 1.0 and om == 2.5

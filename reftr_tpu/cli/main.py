@@ -56,6 +56,14 @@ def get_args_parser() -> argparse.ArgumentParser:
     # at lr_backbone instead of the reference's unconditional freeze, which
     # assumes an ImageNet init (backbone.py:85-89). See core/config.py.
     p.add_argument("--train_stem", action="store_true")
+    # FROM-SCRATCH deviation: live GroupNorm(32) instead of FrozenBN in the
+    # backbone. FrozenBN with init-value stats normalizes nothing and the
+    # residual stream overflows fp32 after enough from-scratch updates
+    # (measured: NaN at epoch 9, PERFORMANCE.md round 5). Use with
+    # --train_stem; incompatible with --fold_bn/--fold_normalize/
+    # --quantize_int8 (nothing frozen to fold).
+    p.add_argument("--backbone_norm", default="frozen",
+                   choices=("frozen", "group"))
     p.add_argument("--ablation", type=str, default="none")
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true")
@@ -200,6 +208,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     # model lets it prune the whole backbone backward with stop_gradient
     m.freeze_backbone = args.freeze_backbone or args.lr_backbone <= 0
     m.train_stem = args.train_stem and not m.freeze_backbone
+    m.backbone_norm = args.backbone_norm
     m.freeze_bert = args.freeze_bert
     m.bert_model = args.bert_model
     from reftr_tpu.core.config import BertConfig

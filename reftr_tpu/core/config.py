@@ -101,6 +101,20 @@ class ModelConfig:
     # encoder of image signal and training collapses into the
     # language-only basin (PERFORMANCE.md "Flagship-geometry training").
     train_stem: bool = False
+    # FROM-SCRATCH deviation #2: backbone normalization. "frozen" =
+    # reference parity (FrozenBatchNorm, backbone.py:43-80 — running stats
+    # fixed at their ImageNet values). "group" = live GroupNorm(32)
+    # (fp32 statistics, trainable affine): REQUIRED for from-scratch
+    # training. FrozenBN at init (var=1) normalizes nothing, so the
+    # residual stream compounds multiplicatively through the 16 bottleneck
+    # blocks — measured on the chip: layer4 output absmax 5.9e19 at epoch
+    # 9 of a from-scratch 640px run, whose square (the next GroupNorm's
+    # variance) overflows even fp32 -> inf -> NaN loss (PERFORMANCE.md
+    # "From-scratch NaN root cause", round 5). GroupNorm is the
+    # TPU-idiomatic choice: batch-size independent, no cross-replica
+    # statistics sync. Incompatible with fold_bn/quantize_int8 (nothing
+    # frozen to fold).
+    backbone_norm: str = "frozen"  # frozen | group
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128

@@ -20,6 +20,13 @@ def build_model(cfg: RefTRConfig) -> Tuple[nn.Module, Dict[str, float]]:
     if not mc.reftr_type.startswith("transformer"):
         raise NotImplementedError(
             f"reftr_type {mc.reftr_type!r} is not implemented")
+    if mc.backbone_norm not in ("frozen", "group"):
+        raise ValueError(f"backbone_norm {mc.backbone_norm!r}")
+    if mc.backbone_norm != "frozen" and (
+            mc.fold_bn or mc.fold_normalize or mc.quantize_int8):
+        raise ValueError(
+            "backbone_norm='group' has no frozen statistics to fold or "
+            "quantize: drop fold_bn/fold_normalize/quantize_int8")
     if mc.masks:
         from reftr_tpu.models.reftr_seg import RefTRSeg
 

@@ -112,6 +112,7 @@ class RefTR(nn.Module):
             quantize=mc.quantize_int8 and "backbone" in mc.quantize_scope,
             sow_absmax=mc.quant_calibrate,
             stop_grad_stages=stop_stages,
+            norm=mc.backbone_norm,
             name="img_backbone")
         self.lang_backbone = BertModel(
             mc.bert, dtype=dtype,

@@ -65,6 +65,23 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
+def _norm(norm: str, features: int, dtype: Any, folded: bool,
+          name: str) -> nn.Module:
+    """Backbone norm factory: 'frozen' = FrozenBatchNorm (reference parity,
+    backbone.py:43-80); 'group' = live GroupNorm(32) with fp32 statistics
+    for FROM-SCRATCH training, where frozen init-value stats (var=1)
+    normalize nothing and the residual stream overflows fp32 (measured,
+    PERFORMANCE.md round 5). All feature counts in resnet50/101 (64..2048,
+    incl. pad_width multiples of 128) divide 32."""
+    if norm == "frozen":
+        return FrozenBatchNorm(features, dtype=dtype, folded=folded,
+                               name=name)
+    assert norm == "group", norm
+    # flax computes the group statistics in fp32 (use_fast_variance path
+    # still promotes half inputs); affine params are fp32 per convention
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
+
+
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
           dtype: Any = jnp.float32, name: str | None = None,
           quantize: bool = False) -> nn.Module:
@@ -116,6 +133,7 @@ class Bottleneck(nn.Module):
     # pass) for quantize_backbone_params.
     quantize: bool = False
     sow_absmax: bool = False
+    norm: str = "frozen"  # frozen | group — see _norm
 
     def _calib(self, name: str, x: jnp.ndarray) -> None:
         if self.sow_absmax:
@@ -132,26 +150,22 @@ class Bottleneck(nn.Module):
         identity = x
         self._calib("conv1_in", x)
         y = _conv(inner, 1, dtype=self.dtype, name="conv1", quantize=q)(x)
-        y = FrozenBatchNorm(inner, dtype=self.dtype, name="bn1",
-                            folded=fold)(y)
+        y = _norm(self.norm, inner, self.dtype, fold, "bn1")(y)
         y = nn.relu(y)
         self._calib("conv2_in", y)
         y = _conv(inner, 3, self.stride, self.dilation, self.dtype, "conv2",
                   quantize=q)(y)
-        y = FrozenBatchNorm(inner, dtype=self.dtype, name="bn2",
-                            folded=fold)(y)
+        y = _norm(self.norm, inner, self.dtype, fold, "bn2")(y)
         y = nn.relu(y)
         self._calib("conv3_in", y)
         y = _conv(out_ch, 1, dtype=self.dtype, name="conv3", quantize=q)(y)
-        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3",
-                            folded=fold)(y)
+        y = _norm(self.norm, out_ch, self.dtype, fold, "bn3")(y)
         if self.downsample:
             self._calib("downsample_conv_in", x)
             identity = _conv(out_ch, 1, self.stride, dtype=self.dtype,
                              name="downsample_conv", quantize=q)(x)
-            identity = FrozenBatchNorm(out_ch, dtype=self.dtype,
-                                       name="downsample_bn",
-                                       folded=fold)(identity)
+            identity = _norm(self.norm, out_ch, self.dtype, fold,
+                             "downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -206,11 +220,15 @@ class ResNet(nn.Module):
     # clip norm (torch clip skips grad=None params). (1,2,3,4) = fully
     # frozen backbone (lr_backbone<=0 / --freeze_backbone).
     stop_grad_stages: Tuple[int, ...] = ()
+    # frozen | group — live GroupNorm(32) for from-scratch training (_norm)
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         assert not (self.quantize and not self.fold_bn), \
             "quantize=True requires fold_bn (BN scale must be in the kernel)"
+        assert not (self.norm != "frozen" and self.fold_bn), \
+            "fold_bn requires frozen BN statistics (norm='frozen')"
         blocks = RESNET_LAYERS[self.name_or_depth]
         x = x.astype(self.dtype)
         if self.space_to_depth:
@@ -229,8 +247,7 @@ class ResNet(nn.Module):
             x = x[:, :out_h, :out_w]
         else:
             x = _conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1",
-                            folded=self.fold_bn)(x)
+        x = _norm(self.norm, 64, self.dtype, self.fold_bn, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -272,6 +289,7 @@ class ResNet(nn.Module):
                     pad_width=self.min_inner_width,
                     quantize=self.quantize,
                     sow_absmax=self.sow_absmax,
+                    norm=self.norm,
                     name=f"layer{stage}_{b}",
                 )(x)
             if blk:

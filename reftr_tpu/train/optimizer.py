@@ -60,7 +60,10 @@ def label_fn(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
             # img_backbone) — every Bottleneck also has a conv1/bn1 that must
             # stay trainable (backbone.py:85-89 freezes by 'layer2/3/4 not in
             # name', i.e. stem + layer1 only).
-            if leaf in _FROZEN_BN_LEAVES:
+            # backbone_norm='group' has no buffers: GroupNorm scale/bias are
+            # ordinary trainable affines (the from-scratch mode's point).
+            if (model_cfg.backbone_norm == "frozen"
+                    and leaf in _FROZEN_BN_LEAVES):
                 return "frozen"
             bb_idx = parts.index("img_backbone")
             child = parts[bb_idx + 1] if bb_idx + 1 < len(parts) else ""

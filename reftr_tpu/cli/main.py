@@ -161,6 +161,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                         " BERT/VL-transformer projections+FFNs for"
                         " --eval/serving (2x MXU peak; requires --fold_bn;"
                         " calibrates input scales on the first eval batches)")
+    p.add_argument("--quantize_train_prefix", action="store_true",
+                   help="TRAINING-time int8 for the frozen stem+layer1"
+                        " prefix (f32-stored grad-safe kernels; calibrates"
+                        " on the first train batches). Requires --fold_bn;"
+                        " excludes --train_stem/--quantize_int8")
     p.add_argument("--quant_calib_batches", default=4, type=int,
                    help="eval batches used to calibrate int8 input scales")
     p.add_argument("--quantize_scope", default=["backbone", "bert", "vl"],
@@ -236,6 +241,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.backbone_remat_stages = tuple(args.backbone_remat_stages)
     m.quantize_int8 = args.quantize_int8
     m.quantize_scope = tuple(args.quantize_scope)
+    m.quantize_train_prefix = args.quantize_train_prefix
     # loss
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef

@@ -156,6 +156,14 @@ class ModelConfig:
     # mutable=['calib']); never set it from the CLI.
     quantize_int8: bool = False
     quant_calibrate: bool = False
+    # TRAINING-time int8 for the frozen stem+layer1 prefix: layer1's
+    # bottleneck convs run the int8 MXU path with f32-stored (grad-safe)
+    # kernels, calibrated on the first train batches (nn/quant.py::
+    # calibrate_train_prefix). Legal because the reference NEVER trains
+    # stem+layer1 (backbone.py:85-89) and they sit under stop_gradient.
+    # Requires fold_bn; incompatible with train_stem (nothing frozen then)
+    # and with quantize_int8 (the serving PTQ path expects fp layer1).
+    quantize_train_prefix: bool = False
     # which components run int8: any subset of {"backbone", "bert", "vl"}
     # ("vl" = the VL encoder/decoder projections+FFNs). Full scope is the
     # measured-fastest (1082 img/s vs 1067 backbone-only, PERFORMANCE.md

@@ -23,10 +23,25 @@ def build_model(cfg: RefTRConfig) -> Tuple[nn.Module, Dict[str, float]]:
     if mc.backbone_norm not in ("frozen", "group"):
         raise ValueError(f"backbone_norm {mc.backbone_norm!r}")
     if mc.backbone_norm != "frozen" and (
-            mc.fold_bn or mc.fold_normalize or mc.quantize_int8):
+            mc.fold_bn or mc.fold_normalize or mc.quantize_int8
+            or mc.quantize_train_prefix):
         raise ValueError(
             "backbone_norm='group' has no frozen statistics to fold or "
-            "quantize: drop fold_bn/fold_normalize/quantize_int8")
+            "quantize: drop fold_bn/fold_normalize/quantize_int8/"
+            "quantize_train_prefix")
+    if mc.quantize_train_prefix:
+        if not mc.fold_bn:
+            raise ValueError("quantize_train_prefix requires fold_bn (the "
+                             "BN scale must fold into the conv kernel)")
+        if mc.train_stem:
+            raise ValueError("quantize_train_prefix quantizes the FROZEN "
+                             "stem+layer1; it cannot combine with "
+                             "train_stem")
+        if mc.quantize_int8:
+            raise ValueError("quantize_train_prefix and quantize_int8 are "
+                             "mutually exclusive (serving PTQ expects an "
+                             "fp layer1; serve prefix-trained checkpoints "
+                             "with quantize_train_prefix instead)")
     if mc.masks:
         from reftr_tpu.models.reftr_seg import RefTRSeg
 

@@ -110,6 +110,7 @@ class RefTR(nn.Module):
             remat_stages=tuple(mc.backbone_remat_stages),
             block_layer1=mc.block_layer1,
             quantize=mc.quantize_int8 and "backbone" in mc.quantize_scope,
+            quantize_stages=(1,) if mc.quantize_train_prefix else (),
             sow_absmax=mc.quant_calibrate,
             stop_grad_stages=stop_stages,
             norm=mc.backbone_norm,

@@ -45,13 +45,25 @@ class QuantConv(nn.Module):
     padding: Any = "SAME"
     kernel_dilation: tuple = (1, 1)
     dtype: Any = jnp.float32
+    # float_kernel: store kernel_q as f32 (integer VALUES in [-127, 127])
+    # and cast to int8 in-call. The int8 MXU path is unchanged; the f32
+    # storage keeps the param tree differentiable so jax.grad accepts it —
+    # required for TRAINING-time quantization of FROZEN stages (the
+    # stop_gradient at the frozen boundary means the non-differentiable
+    # round/cast ops are never on the tangent path; the leaves just get
+    # zero grads). Kernel bytes are negligible vs the activation traffic
+    # this path targets (layer1: ~0.6 M weights vs 13 MB/img activations).
+    float_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kq = self.param("kernel_q", nn.initializers.zeros,
-                        (kh, kw, cin, self.features), jnp.int8)
+                        (kh, kw, cin, self.features),
+                        jnp.float32 if self.float_kernel else jnp.int8)
+        if self.float_kernel:
+            kq = kq.astype(jnp.int8)
         w_scale = self.param("w_scale", nn.initializers.ones,
                              (self.features,), jnp.float32)
         in_scale = self.param("in_scale", nn.initializers.ones,
@@ -131,17 +143,21 @@ def quantize_dense_kernel(kernel: jnp.ndarray, bias, in_absmax: float) -> Dict:
     return out
 
 
-def quantize_conv_kernel(kernel: jnp.ndarray, in_absmax: float) -> Dict:
+def quantize_conv_kernel(kernel: jnp.ndarray, in_absmax: float,
+                         float_kernel: bool = False) -> Dict:
     """fp kernel [kh,kw,cin,cout] + calibrated input absmax -> QuantConv params.
 
     Weight scale is per output channel (absmax/127); symmetric, zero-point
     free (TPU int8 matmul has no zero-point path, and conv inputs here are
     relu outputs or normalized images, both ~symmetric or one-sided where
-    clipping at 0 loses nothing)."""
+    clipping at 0 loses nothing). float_kernel stores the integer values
+    in f32 for QuantConv(float_kernel=True) — the grad-safe training
+    layout."""
     k = np.asarray(kernel, np.float32)
     w_absmax = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0)
     w_scale = np.maximum(w_absmax, 1e-12) / QMAX
-    kq = np.clip(np.round(k / w_scale), -QMAX, QMAX).astype(np.int8)
+    kq = np.clip(np.round(k / w_scale), -QMAX, QMAX).astype(
+        np.float32 if float_kernel else np.int8)
     in_scale = np.float32(max(float(in_absmax), 1e-12) / QMAX)
     return {
         "kernel_q": jnp.asarray(kq),
@@ -155,14 +171,17 @@ def quantize_conv_kernel(kernel: jnp.ndarray, in_absmax: float) -> Dict:
 _CONV_NAMES = ("conv1", "conv2", "conv3", "downsample_conv")
 
 
-def quantize_backbone_params(backbone_params: Dict, calib: Dict) -> Dict:
+def quantize_backbone_params(backbone_params: Dict, calib: Dict,
+                             stages=None, float_kernel: bool = False) -> Dict:
     """Rewrite a (fold_bn-folded) fp backbone param tree into its int8 twin.
 
     Only convs inside `layer*` (Bottleneck) subtrees are rewritten — the
     stem conv and all FrozenBN biases pass through unchanged. `calib`
     mirrors the module structure with `<conv name>_in` absmax leaves, as
     produced by ResNet(sow_absmax=True) under mutable=['calib']
-    (nn/resnet.py)."""
+    (nn/resnet.py). `stages` restricts the rewrite to those stage numbers
+    (None = all); float_kernel selects the grad-safe f32-stored layout
+    for ResNet(quantize_stages=...) training-time int8."""
 
     def rewrite_block(tree: Dict, calib_tree: Dict) -> Dict:
         out = {}
@@ -171,14 +190,20 @@ def quantize_backbone_params(backbone_params: Dict, calib: Dict) -> Dict:
                     and "kernel" in sub:
                 absmax = calib_tree[f"{name}_in"]
                 absmax = float(np.max(np.asarray(absmax)))
-                out[name] = quantize_conv_kernel(sub["kernel"], absmax)
+                out[name] = quantize_conv_kernel(sub["kernel"], absmax,
+                                                 float_kernel=float_kernel)
             else:
                 out[name] = sub
         return out
 
+    def selected(name: str) -> bool:
+        if not name.startswith("layer"):
+            return False
+        return stages is None or int(name[len("layer")]) in stages
+
     return {
         name: (rewrite_block(sub, calib.get(name, {}))
-               if name.startswith("layer") and isinstance(sub, dict)
+               if selected(name) and isinstance(sub, dict)
                else sub)
         for name, sub in backbone_params.items()
     }
@@ -326,6 +351,64 @@ def calibrate_and_quantize(cfg, params: Dict, loader, mesh=None,
     else:
         out = jax.device_put(out)
     return out
+
+
+def calibrate_train_prefix(cfg, params: Dict, loader,
+                           n_batches: int = 4, print_fn=print) -> Dict:
+    """TRAINING-time int8 for the frozen stem+layer1 prefix
+    (ModelConfig.quantize_train_prefix): calibrate per-conv input absmax
+    on the first `n_batches` train batches, then rewrite the layer1
+    Bottleneck convs into the f32-stored (grad-safe) QuantConv layout for
+    ResNet(quantize_stages=(1,)).
+
+    Legal because the prefix is frozen (reference backbone.py:85-89 —
+    requires_grad always False) and sits under the stage-1 stop_gradient,
+    so no gradient ever touches the int8 ops. Scale determinism across
+    processes: per-process absmax trees are allgathered and elementwise
+    max-reduced so every process bakes identical params."""
+    import dataclasses as _dc
+
+    from jax.experimental import multihost_utils
+
+    from reftr_tpu.models.build import build_model
+
+    calib_cfg = _dc.replace(
+        cfg, model=_dc.replace(cfg.model, quantize_int8=False,
+                               quantize_train_prefix=False,
+                               quant_calibrate=True))
+    calib_model, _ = build_model(calib_cfg)
+
+    @jax.jit
+    def calib_step(p, batch):
+        _, var = calib_model.apply({"params": p}, batch,
+                                   deterministic=True, mutable=["calib"])
+        return var["calib"]
+
+    absmax = None
+    for i, (batch, _targets) in enumerate(loader):
+        if i >= n_batches:
+            break
+        c = jax.device_get(calib_step(params, batch))
+        absmax = c if absmax is None else jax.tree_util.tree_map(
+            np.maximum, absmax, c)
+    if absmax is None:
+        raise ValueError("prefix calibration loader yielded no batches")
+    if jax.process_count() > 1:
+        leaves, treedef = jax.tree_util.tree_flatten(absmax)
+        gathered = multihost_utils.process_allgather(
+            jnp.asarray([float(l) for l in leaves]))
+        leaves = np.asarray(gathered).max(axis=0)
+        absmax = jax.tree_util.tree_unflatten(treedef, list(leaves))
+    validate_calibration(
+        {"img_backbone": {k: v for k, v in absmax["img_backbone"].items()
+                          if k.startswith("layer1_")}})
+    print_fn(f"int8 train-prefix: calibrated layer1 on {n_batches} "
+             "batches; rewriting to float-stored int8")
+    out = dict(params)
+    out["img_backbone"] = quantize_backbone_params(
+        out["img_backbone"], absmax["img_backbone"], stages={1},
+        float_kernel=True)
+    return jax.device_put(out)
 
 
 def quantize_params(params: Dict, calib: Dict,

@@ -84,7 +84,7 @@ def _norm(norm: str, features: int, dtype: Any, folded: bool,
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
           dtype: Any = jnp.float32, name: str | None = None,
-          quantize: bool = False) -> nn.Module:
+          quantize: bool = False, float_kernel: bool = False) -> nn.Module:
     pad = dilation * (kernel - 1) // 2
     if quantize:
         from reftr_tpu.nn.quant import QuantConv
@@ -96,6 +96,7 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
             padding=((pad, pad), (pad, pad)),
             kernel_dilation=(dilation, dilation),
             dtype=dtype,
+            float_kernel=float_kernel,
             name=name,
         )
     return nn.Conv(
@@ -134,6 +135,9 @@ class Bottleneck(nn.Module):
     quantize: bool = False
     sow_absmax: bool = False
     norm: str = "frozen"  # frozen | group — see _norm
+    # int8 convs with f32-stored (grad-safe) kernels: the TRAINING-time
+    # quantization mode for frozen stages (QuantConv.float_kernel)
+    float_kernel: bool = False
 
     def _calib(self, name: str, x: jnp.ndarray) -> None:
         if self.sow_absmax:
@@ -147,23 +151,27 @@ class Bottleneck(nn.Module):
         inner = max(self.width, self.pad_width)
         fold = self.fold_bn
         q = self.quantize
+        fk = self.float_kernel
         identity = x
         self._calib("conv1_in", x)
-        y = _conv(inner, 1, dtype=self.dtype, name="conv1", quantize=q)(x)
+        y = _conv(inner, 1, dtype=self.dtype, name="conv1", quantize=q,
+                  float_kernel=fk)(x)
         y = _norm(self.norm, inner, self.dtype, fold, "bn1")(y)
         y = nn.relu(y)
         self._calib("conv2_in", y)
         y = _conv(inner, 3, self.stride, self.dilation, self.dtype, "conv2",
-                  quantize=q)(y)
+                  quantize=q, float_kernel=fk)(y)
         y = _norm(self.norm, inner, self.dtype, fold, "bn2")(y)
         y = nn.relu(y)
         self._calib("conv3_in", y)
-        y = _conv(out_ch, 1, dtype=self.dtype, name="conv3", quantize=q)(y)
+        y = _conv(out_ch, 1, dtype=self.dtype, name="conv3", quantize=q,
+                  float_kernel=fk)(y)
         y = _norm(self.norm, out_ch, self.dtype, fold, "bn3")(y)
         if self.downsample:
             self._calib("downsample_conv_in", x)
             identity = _conv(out_ch, 1, self.stride, dtype=self.dtype,
-                             name="downsample_conv", quantize=q)(x)
+                             name="downsample_conv", quantize=q,
+                             float_kernel=fk)(x)
             identity = _norm(self.norm, out_ch, self.dtype, fold,
                              "downsample_bn")(identity)
         return nn.relu(y + identity)
@@ -222,6 +230,14 @@ class ResNet(nn.Module):
     stop_grad_stages: Tuple[int, ...] = ()
     # frozen | group — live GroupNorm(32) for from-scratch training (_norm)
     norm: str = "frozen"
+    # TRAINING-time int8: stages whose bottleneck convs run the int8 MXU
+    # path with f32-stored kernels (QuantConv.float_kernel — grad-safe).
+    # Only sane for FROZEN stages (must be covered by stop_grad_stages so
+    # the non-differentiable int8 ops never sit on the tangent path);
+    # targets stem+layer1's dominant HBM traffic during training
+    # (PERFORMANCE.md conv profile: 58% of the backbone forward).
+    # Mutually exclusive with `quantize` (the serving PTQ mode).
+    quantize_stages: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -229,6 +245,12 @@ class ResNet(nn.Module):
             "quantize=True requires fold_bn (BN scale must be in the kernel)"
         assert not (self.norm != "frozen" and self.fold_bn), \
             "fold_bn requires frozen BN statistics (norm='frozen')"
+        assert not (self.quantize_stages and self.quantize), \
+            "quantize_stages (training int8) and quantize (serving PTQ) " \
+            "are mutually exclusive"
+        assert set(self.quantize_stages) <= set(self.stop_grad_stages), \
+            "quantize_stages must be frozen (stop_grad_stages) — int8 " \
+            "convs are not differentiable"
         blocks = RESNET_LAYERS[self.name_or_depth]
         x = x.astype(self.dtype)
         if self.space_to_depth:
@@ -287,7 +309,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     fold_bn=self.fold_bn,
                     pad_width=self.min_inner_width,
-                    quantize=self.quantize,
+                    quantize=self.quantize or stage in self.quantize_stages,
+                    float_kernel=stage in self.quantize_stages,
                     sow_absmax=self.sow_absmax,
                     norm=self.norm,
                     name=f"layer{stage}_{b}",

@@ -215,7 +215,7 @@ def run_training(cfg: RefTRConfig) -> Dict:
             fp_cfg, model=_dc.replace(
                 fp_cfg.model, space_to_depth_stem=False, fold_bn=False,
                 fold_normalize=False, backbone_pad_width=0,
-                block_layer1=False)))
+                block_layer1=False, quantize_train_prefix=False)))
         params = base_model.init(rng, sample_batch)["params"]
         params = optimize_backbone_in_tree(params, cfg.model)
     else:
@@ -226,6 +226,16 @@ def run_training(cfg: RefTRConfig) -> Dict:
 
     if cfg.train.pretrained_model:
         params = _load_pretrained(params, cfg.train.pretrained_model, cfg)
+
+    if cfg.model.quantize_train_prefix:
+        # frozen stem+layer1 in int8 during TRAINING (nn/quant.py): rewrite
+        # happens BEFORE state creation so the optimizer state and any
+        # checkpoint resume below see the quantized tree layout.
+        from reftr_tpu.nn.quant import calibrate_train_prefix
+
+        params = calibrate_train_prefix(
+            fp_cfg, params, train_loader,
+            n_batches=cfg.train.quant_calib_batches, print_fn=master_print)
 
     schedule = build_schedule(cfg.train, steps_per_epoch)
     tx = build_optimizer(cfg.model, cfg.train, schedule)

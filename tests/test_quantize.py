@@ -250,3 +250,77 @@ def test_calibration_drift_flags_saturating_inputs():
     assert len(drift) == 1
     path, cm, om = drift[0]
     assert "a" in path and cm == 1.0 and om == 2.5
+
+
+def test_train_prefix_int8_grad_safe_and_close_to_fp():
+    """TRAINING-time int8 of the frozen stem+layer1 prefix
+    (ModelConfig.quantize_train_prefix / ResNet.quantize_stages):
+
+    * layer1 convs get f32-STORED integer kernels (QuantConv.float_kernel)
+      so jax.grad accepts the tree,
+    * features stay within quantization noise of the fp backbone,
+    * gradients: exact zero into the (frozen, stop_gradient'd) prefix,
+      bit-identical into layer2+ vs the fp model is NOT expected (inputs
+      differ by quantization noise) but they must be finite and nonzero.
+    """
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32)
+    base = ResNet("resnet50")
+    params = _jitter_bn(base.init(rng, x)["params"])
+    folded = optimize_resnet_params(params, fold_bn=True)
+
+    calib_model = ResNet("resnet50", fold_bn=True, sow_absmax=True,
+                         stop_grad_stages=(1,))
+    y_fp, var = calib_model.apply({"params": folded}, x, mutable=["calib"])
+    qparams = quantize_backbone_params(
+        folded, jax.device_get(var["calib"]), stages={1}, float_kernel=True)
+
+    # structure: stem + layer2..4 fp; layer1 convs f32-stored int values
+    assert "kernel" in qparams["conv1"]
+    assert "kernel" in qparams["layer2_0"]["conv1"]
+    for b in range(3):
+        for cname in ("conv1", "conv2", "conv3"):
+            kq = qparams[f"layer1_{b}"][cname]["kernel_q"]
+            assert kq.dtype == jnp.float32, (b, cname)
+            assert np.all(np.asarray(kq) == np.round(np.asarray(kq)))
+
+    qmodel = ResNet("resnet50", fold_bn=True, quantize_stages=(1,),
+                    stop_grad_stages=(1,))
+    y_q = qmodel.apply({"params": qparams}, x)
+    a = np.asarray(y_fp[0], np.float32)
+    b = np.asarray(y_q[0], np.float32)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.99, cos
+
+    def loss(p):
+        return (qmodel.apply({"params": p}, x)[0].astype(jnp.float32)
+                ** 2).mean()
+
+    g = jax.grad(loss)(qparams)
+    for b in range(3):
+        for leaf, v in (("kernel_q", g[f"layer1_{b}"]["conv1"]["kernel_q"]),
+                        ("in_scale", g[f"layer1_{b}"]["conv1"]["in_scale"])):
+            assert float(np.abs(np.asarray(v)).max()) == 0.0, (b, leaf)
+    g2 = np.abs(np.asarray(g["layer4_2"]["conv3"]["kernel"]))
+    assert np.isfinite(g2).all() and g2.max() > 0
+
+
+def test_train_prefix_config_validation():
+    """quantize_train_prefix demands fold_bn and excludes train_stem /
+    quantize_int8 / backbone_norm='group' (models/build.py)."""
+    from reftr_tpu.core.config import ModelConfig, RefTRConfig
+    from reftr_tpu.models.build import build_model
+
+    def build(**kw):
+        return build_model(RefTRConfig(model=ModelConfig(
+            quantize_train_prefix=True, **kw)))
+
+    with pytest.raises(ValueError, match="requires fold_bn"):
+        build()
+    with pytest.raises(ValueError, match="train_stem"):
+        build(fold_bn=True, train_stem=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build(fold_bn=True, quantize_int8=True)
+    with pytest.raises(ValueError, match="backbone_norm"):
+        build(backbone_norm="group")
+    build(fold_bn=True)  # the legal combination

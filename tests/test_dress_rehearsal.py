@@ -31,6 +31,20 @@ PHRASES = [
 ]
 COLORS = [(200, 40, 40), (40, 180, 60), (40, 70, 200)]
 
+# minimal WordPiece vocab covering PHRASES (the tokenizer loads
+# vocab.txt from the data root like the offline-HF path, train/loop.py)
+VOCAB = "\n".join([
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "a", "the", "red", "green", "blue", "box", "block", "square",
+    "on", "in", "left", "right", "middle", "thing",
+]) + "\n"
+
+
+def _write_vocab(root: str) -> None:
+    os.makedirs(root, exist_ok=True)
+    with open(osp.join(root, "vocab.txt"), "w") as f:
+        f.write(VOCAB)
+
 
 def _fabricate_unc_tree(root: str) -> None:
     """Miniature refcoco/unc tree in the reference's formats.
@@ -96,11 +110,12 @@ def test_unc_masks_train_eval_checkpoint_predict(tmp_path, capsys):
 
     root = str(tmp_path / "data")
     out = str(tmp_path / "run")
+    _write_vocab(root)
     _fabricate_unc_tree(root)
 
     argv = _model_flags() + [
         "--data_root", root, "--output_dir", out,
-        "--batch_size", "4", "--epochs", "2", "--num_workers", "2",
+        "--batch_size", "8", "--epochs", "2", "--num_workers", "2",
         "--lr", "3e-4", "--lr_backbone", "3e-4",
         "--lr_schedule", "CosineWarmupLR", "--warm_up_epoch", "1",
         "--seed", "0", "--no_donate_state",
@@ -153,6 +168,7 @@ def test_unc_rec_pth_ingestion_eval_only(tmp_path, capsys):
     root = str(tmp_path / "data")
     im_dir = osp.join(root, "refcoco", "images", "train2014")
     ann_dir = osp.join(root, "annotations_resc", "unc")
+    _write_vocab(root)
     os.makedirs(im_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
 
@@ -160,7 +176,7 @@ def test_unc_rec_pth_ingestion_eval_only(tmp_path, capsys):
 
     rng = np.random.default_rng(2)
     records = []
-    for i in range(4):
+    for i in range(8):
         img = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
         img_file = f"v{i}.jpg"
         Image.fromarray(img).save(osp.join(im_dir, img_file))
@@ -179,11 +195,11 @@ def test_unc_rec_pth_ingestion_eval_only(tmp_path, capsys):
         "--dim_feedforward", "64", "--bert_size", "tiny",
         "--dtype", "float32",
         "--data_root", root, "--output_dir", out,
-        "--batch_size", "4", "--num_workers", "2", "--no_donate_state",
+        "--batch_size", "8", "--num_workers", "2", "--no_donate_state",
     ]
     assert train_main(argv) == 0
     results = json.load(open(osp.join(out, "refcoco_unc_val_result.json")))
-    assert len(results) == 4
+    assert len(results) == 8
     for boxes in results.values():
         (x0, y0, x1, y1), = boxes
         assert 0 <= x0 <= x1 <= 64 + 1e-3 and 0 <= y0 <= y1 <= 48 + 1e-3

@@ -16,8 +16,11 @@ auto-selects accordingly.
 Design notes (see /opt/skills/guides/pallas_guide.md):
   * padding enters as a precomputed f32 bias row per batch ([B, Sk], 0 or
     -1e9) so the kernel has no bool handling,
-  * all kernel math in f32 (bf16 kernels trip Mosaic's broadcast verifier
-    on this jax version; f32 also matches the XLA path's fp32 softmax),
+  * softmax/statistics math in f32 (full-bf16 kernels trip Mosaic's
+    broadcast verifier on this jax version; f32 stats also match the XLA
+    path's fp32 softmax). Dot INPUTS optionally cast to bf16 (mxu_bf16) —
+    f32 matmuls run at half the MXU's bf16 rate, and the XLA path's
+    operands are bf16 anyway (round-5 serving experiment),
   * backward pass = flash-2 style Pallas kernels (dq with a kv sweep,
     dk/dv with a q sweep, p recomputed from the forward's logsumexp), so
     TRAINING at the 4-level S=8540 config stays within HBM — the XLA
@@ -57,9 +60,18 @@ def _dropout_keep(shape, rate, inv_keep):
     return jnp.where(u >= rate, inv_keep, 0.0)  # uniform [0, 1) vs rate
 
 
+def _mxu(x, bf16: bool):
+    """Cast a dot operand to bf16 for full-rate MXU issue (f32 matmuls run
+    at half the MXU's bf16 peak on v5e). Accumulation stays f32 via
+    preferred_element_type; softmax/statistics math stays f32 throughout —
+    this only quantizes the dot INPUTS, the same numerics class as the XLA
+    path whose model activations are already bf16."""
+    return x.astype(jnp.bfloat16) if bf16 else x
+
+
 def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   m_ref, l_ref, acc_ref, *, scale, n_qb, n_kb,
-                  dropout_rate, head_group):
+                  dropout_rate, head_group, mxu_bf16=False):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -74,7 +86,7 @@ def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         k = k_ref[hh]  # [BK, D]
         v = v_ref[hh]  # [BK, D]
         logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            _mxu(q, mxu_bf16), _mxu(k, mxu_bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
 
         m_prev = m_ref[hh]
@@ -94,7 +106,7 @@ def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             p = p * _dropout_keep(p.shape, dropout_rate,
                                   1.0 / (1.0 - dropout_rate))
         acc_ref[hh] = acc_ref[hh] * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            _mxu(p, mxu_bf16), _mxu(v, mxu_bf16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[hh] = m_new
 
@@ -108,7 +120,7 @@ def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
          return_lse: bool = False, dropout_rate: float = 0.0, seed=None,
-         head_group: int = 1):
+         head_group: int = 1, mxu_bf16: bool = False):
     """q: [B, H, Sq, D] f32; k/v: [B, H, Sk, D] f32; bias: [B, Sk] f32.
 
     With return_lse, additionally returns the row logsumexp as
@@ -155,7 +167,8 @@ def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
             pl.BlockSpec((g, block_q, LSE_LANES), lambda i, j, kb: (i, j, 0)))
     _k = functools.partial(_flash_kernel, scale=scale,
                            n_qb=sq_p // block_q, n_kb=n_kb,
-                           dropout_rate=dropout_rate, head_group=g)
+                           dropout_rate=dropout_rate, head_group=g,
+                           mxu_bf16=mxu_bf16)
     hg = h // g  # head-groups per batch element (g | h, so bias is
     #              constant within a group)
     in_specs = [
@@ -213,7 +226,7 @@ def _xla_attention(q, k, v, bias):
 
 def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                    lse_ref, dq_ref, dq_acc, di_ref, *, scale, n_qb, n_kb,
-                   dropout_rate, head_group):
+                   dropout_rate, head_group, mxu_bf16=False):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -232,11 +245,11 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         # lanes are replicas of the same row value; max collapses to [BQ, 1]
         lse = jnp.max(lse_ref[hh], axis=-1, keepdims=True)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            _mxu(q, mxu_bf16), _mxu(k, mxu_bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
+            _mxu(do, mxu_bf16), _mxu(v, mxu_bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [BQ, BK]
         if dropout_rate > 0.0:
             # regenerate the forward's mask for this exact tile
@@ -247,7 +260,7 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                                     1.0 / (1.0 - dropout_rate))
         ds = p * (dp - di_ref[hh])
         dq_acc[hh] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            _mxu(ds, mxu_bf16), _mxu(k, mxu_bf16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)
@@ -257,7 +270,7 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
 
 def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                     lse_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, n_qb,
-                    n_kb, dropout_rate, head_group):
+                    n_kb, dropout_rate, head_group, mxu_bf16=False):
     qb = pl.program_id(2)
 
     @pl.when(qb == 0)
@@ -273,7 +286,7 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         do = do_ref[hh]
         lse = jnp.max(lse_ref[hh], axis=-1, keepdims=True)  # [BQ, 1]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            _mxu(q, mxu_bf16), _mxu(k, mxu_bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias  # [BQ, BK]
         p = jnp.exp(s - lse)
         if dropout_rate > 0.0:
@@ -288,17 +301,18 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         else:
             keep = None
         dv_acc[hh] += jax.lax.dot_general(
-            p if keep is None else p * keep, do, (((0,), (0,)), ((), ())),
+            _mxu(p if keep is None else p * keep, mxu_bf16),
+            _mxu(do, mxu_bf16), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [BK, D]
         di = jnp.sum(do * o_ref[hh], axis=-1, keepdims=True)  # [BQ, 1]
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
+            _mxu(do, mxu_bf16), _mxu(v, mxu_bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [BQ, BK]
         if keep is not None:
             dp = dp * keep
         ds = p * (dp - di)
         dk_acc[hh] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            _mxu(ds, mxu_bf16), _mxu(q, mxu_bf16), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(qb == n_qb - 1)
@@ -309,7 +323,7 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
 
 def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
          interpret: bool, dropout_rate: float = 0.0, seed=None,
-         head_group: int = 1):
+         head_group: int = 1, mxu_bf16: bool = False):
     """Flash-2 backward. All of q/do/o: [B,H,Sq,D]; k/v: [B,H,Sk,D] f32;
     bias: [B,Sk] f32; lse: [B*H, Sq, LSE_LANES] f32. Returns (dq, dk, dv).
     """
@@ -369,10 +383,10 @@ def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
     dkv_inputs = list(dq_inputs)
     dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale, n_qb=n_qb,
                                   n_kb=n_kb, dropout_rate=dropout_rate,
-                                  head_group=g)
+                                  head_group=g, mxu_bf16=mxu_bf16)
     dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale, n_qb=n_qb,
                                    n_kb=n_kb, dropout_rate=dropout_rate,
-                                   head_group=g)
+                                   head_group=g, mxu_bf16=mxu_bf16)
     if dropout_rate > 0.0:
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         dq_in_specs.insert(0, smem)
@@ -430,16 +444,16 @@ BWD_BLOCK_Q = 256
 BWD_BLOCK_K = 512
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _attention(q, k, v, bias, seed, block_q, block_k, interpret,
-               dropout_rate, head_group):
+               dropout_rate, head_group, mxu_bf16):
     return _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
                 interpret=interpret, dropout_rate=dropout_rate, seed=seed,
-                head_group=head_group)
+                head_group=head_group, mxu_bf16=mxu_bf16)
 
 
 def _attention_fwd(q, k, v, bias, seed, block_q, block_k, interpret,
-                   dropout_rate, head_group):
+                   dropout_rate, head_group, mxu_bf16):
     if dropout_rate > 0.0:
         # dropout masks are keyed by tile coordinates: forward and backward
         # must tile identically, so run the forward at the backward blocks
@@ -448,18 +462,18 @@ def _attention_fwd(q, k, v, bias, seed, block_q, block_k, interpret,
     out, lse = _fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
                     interpret=interpret, return_lse=True,
                     dropout_rate=dropout_rate, seed=seed,
-                    head_group=head_group)
+                    head_group=head_group, mxu_bf16=mxu_bf16)
     return out, (q, k, v, bias, seed, out, lse)
 
 
 def _attention_bwd(block_q, block_k, interpret, dropout_rate, head_group,
-                   res, g):
+                   mxu_bf16, res, g):
     q, k, v, bias, seed, o, lse = res
     dq, dk, dv = _bwd(q, k, v, bias, o, lse, g.astype(jnp.float32),
                       block_q=min(block_q, BWD_BLOCK_Q),
                       block_k=min(block_k, BWD_BLOCK_K),
                       interpret=interpret, dropout_rate=dropout_rate,
-                      seed=seed, head_group=head_group)
+                      seed=seed, head_group=head_group, mxu_bf16=mxu_bf16)
     # bias is derived from a boolean validity mask (jnp.where on bools), so
     # its cotangent can never reach a trainable leaf; skip computing it.
     # seed is integer-typed: no cotangent.
@@ -488,6 +502,11 @@ def fused_attention(
     # fwd (S=2048/8540) and +7-8% fwd+bwd over g=1; g>=4 OOMs VMEM at the
     # production (512, 1024) blocks, hence 2 as the default.
     head_group: int = 2,
+    # bf16 dot INPUTS inside the kernel (f32 accumulate + f32 softmax
+    # stats) — f32 matmuls issue at half the MXU's bf16 rate on v5e, so
+    # this doubles the kernel's MXU throughput at the numerics class the
+    # bf16 XLA path already has. See PERFORMANCE.md round 5.
+    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, Sq, H, D].
 
@@ -525,7 +544,7 @@ def fused_attention(
     kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
     vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
     out = _attention(qt, kt, vt, bias, seed, block_q, block_k, interpret,
-                     float(dropout_rate), int(head_group))
+                     float(dropout_rate), int(head_group), bool(mxu_bf16))
     return out.transpose(0, 2, 1, 3).astype(in_dtype)
 
 

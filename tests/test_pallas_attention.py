@@ -305,3 +305,27 @@ def test_mha_module_sharded_kernel_under_mesh(rng, monkeypatch):
     assert calls == []
     want6 = np.asarray(ref_mod.apply(params, x6, x6, x6, v6))
     np.testing.assert_allclose(got6, want6, rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_bf16_close_to_f32(rng):
+    """mxu_bf16 casts only the dot INPUTS to bf16 (f32 accumulate + f32
+    softmax stats): outputs must stay within bf16 input-rounding noise of
+    the f32 kernel, and gradients must flow."""
+    import jax
+    import jax.numpy as jnp
+
+    q, k, v, valid = make_qkv(rng)
+    f32 = np.asarray(fused_attention(q, k, v, valid, interpret=True))
+    b16 = np.asarray(fused_attention(q, k, v, valid, interpret=True,
+                                     mxu_bf16=True))
+    err = np.abs(f32 - b16).max()
+    ref = np.abs(f32).max()
+    assert err / ref < 0.02, err / ref
+
+    def loss(q):
+        return (fused_attention(q, k, v, valid, interpret=True,
+                                mxu_bf16=True).astype(jnp.float32) ** 2
+                ).mean()
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(q)))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0

@@ -155,6 +155,14 @@ def _load_pretrained(params, path: str, cfg: RefTRConfig):
 
 
 def run_training(cfg: RefTRConfig) -> Dict:
+    # persistent compilation cache: remote (tunnel) compiles of the
+    # flagship train/eval steps take ~10 min; without this every run —
+    # and every auto-resume restart — pays them again
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
     initialize()
     mesh = create_mesh(cfg.mesh)
     # Input sharding follows the MESH, not the process count: processes

@@ -12,7 +12,8 @@
 # --output_dir so NaN investigations resume from the last good state
 # (CLAUDE.md).
 cd /root/repo
-exec python -m reftr_tpu.cli.main \
+exec python -u -m reftr_tpu.cli.main \
+  --num_feature_levels 1 \
   --dataset synthetic --train_split train --test_split val \
   --img_size 640 --max_img_size 640 \
   --synthetic_n 256 --synthetic_box_frac 0.25 0.5 \

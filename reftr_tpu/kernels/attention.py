@@ -16,6 +16,12 @@ auto-selects accordingly.
 Design notes (see /opt/skills/guides/pallas_guide.md):
   * padding enters as a precomputed f32 bias row per batch ([B, Sk], 0 or
     -1e9) so the kernel has no bool handling,
+  * q/k/v (and the backward's do/o residuals) travel to the kernels in
+    the CALLER's dtype — bf16 in production — and are upcast to f32 per
+    block in VMEM (round 5: the previous whole-array HBM f32
+    materialization doubled the memory-bound kernel's input traffic and
+    residual footprint for nothing; bf16->f32 is exact so numerics are
+    unchanged),
   * softmax/statistics math in f32 (full-bf16 kernels trip Mosaic's
     broadcast verifier on this jax version; f32 stats also match the XLA
     path's fp32 softmax). Dot INPUTS optionally cast to bf16 (mxu_bf16) —
@@ -61,12 +67,20 @@ def _dropout_keep(shape, rate, inv_keep):
 
 
 def _mxu(x, bf16: bool):
-    """Cast a dot operand to bf16 for full-rate MXU issue (f32 matmuls run
-    at half the MXU's bf16 peak on v5e). Accumulation stays f32 via
-    preferred_element_type; softmax/statistics math stays f32 throughout —
-    this only quantizes the dot INPUTS, the same numerics class as the XLA
-    path whose model activations are already bf16."""
-    return x.astype(jnp.bfloat16) if bf16 else x
+    """Normalize a dot operand's dtype at the point of use, inside VMEM.
+
+    Default (bf16=False): f32 operands. Tensor tiles arrive in the
+    CALLER's dtype (bf16 in production — round 5 removed the pre-kernel
+    HBM f32 materialization, halving the kernel's input DMA traffic and
+    its saved-residual footprint) and are upcast per block here; bf16->f32
+    is exact, so numerics are unchanged vs the old whole-array upcast.
+
+    mxu_bf16=True: bf16 operands — f32 matmuls issue at half the MXU's
+    bf16 peak on v5e. Accumulation stays f32 via preferred_element_type;
+    softmax/statistics math stays f32 throughout — this only quantizes
+    the dot INPUTS (the f32 softmax probabilities and ds), the same
+    numerics class as the XLA path whose activations are already bf16."""
+    return x.astype(jnp.bfloat16 if bf16 else jnp.float32)
 
 
 def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
@@ -82,7 +96,7 @@ def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     bias = bias_ref[0]  # [1, BK], shared by all heads in the group
     for hh in range(head_group):  # unrolled; amortizes grid/DMA overhead
-        q = q_ref[hh]  # [BQ, D] f32
+        q = q_ref[hh]  # [BQ, D], caller dtype (dots normalize via _mxu)
         k = k_ref[hh]  # [BK, D]
         v = v_ref[hh]  # [BK, D]
         logits = jax.lax.dot_general(
@@ -121,7 +135,8 @@ def _flash_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 def _fwd(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool,
          return_lse: bool = False, dropout_rate: float = 0.0, seed=None,
          head_group: int = 1, mxu_bf16: bool = False):
-    """q: [B, H, Sq, D] f32; k/v: [B, H, Sk, D] f32; bias: [B, Sk] f32.
+    """q: [B, H, Sq, D]; k/v: [B, H, Sk, D] (caller dtype — bf16 in
+    production, upcast per block inside the kernel); bias: [B, Sk] f32.
 
     With return_lse, additionally returns the row logsumexp as
     [B*H, Sq, LSE_LANES] f32 (value replicated across the lane dim).
@@ -233,7 +248,8 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
         # di_i = sum_d do_id * o_id (flash-2's rowsum(dO*O) = dL/dlse trick)
-        di_ref[...] = jnp.sum(do_ref[...] * o_ref[...], axis=-1,
+        di_ref[...] = jnp.sum(do_ref[...].astype(jnp.float32)
+                              * o_ref[...].astype(jnp.float32), axis=-1,
                               keepdims=True)
 
     bias = bias_ref[0]  # [1, BK]
@@ -304,7 +320,9 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
             _mxu(p if keep is None else p * keep, mxu_bf16),
             _mxu(do, mxu_bf16), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [BK, D]
-        di = jnp.sum(do * o_ref[hh], axis=-1, keepdims=True)  # [BQ, 1]
+        di = jnp.sum(do.astype(jnp.float32)
+                     * o_ref[hh].astype(jnp.float32),
+                     axis=-1, keepdims=True)  # [BQ, 1]
         dp = jax.lax.dot_general(
             _mxu(do, mxu_bf16), _mxu(v, mxu_bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [BQ, BK]
@@ -324,8 +342,9 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
 def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
          interpret: bool, dropout_rate: float = 0.0, seed=None,
          head_group: int = 1, mxu_bf16: bool = False):
-    """Flash-2 backward. All of q/do/o: [B,H,Sq,D]; k/v: [B,H,Sk,D] f32;
-    bias: [B,Sk] f32; lse: [B*H, Sq, LSE_LANES] f32. Returns (dq, dk, dv).
+    """Flash-2 backward. All of q/do/o: [B,H,Sq,D]; k/v: [B,H,Sk,D]
+    (caller dtype, upcast per block in-kernel); bias: [B,Sk] f32;
+    lse: [B*H, Sq, LSE_LANES] f32. Returns (dq, dk, dv) in caller dtype.
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -403,7 +422,7 @@ def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
         grid=(b * h // g, n_qb, n_kb),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((g, block_q, d), lambda i, j, kb: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((g, block_q, d), jnp.float32),  # dq accumulator
             pltpu.VMEM((g, block_q, 1), jnp.float32),  # di rows
@@ -421,8 +440,8 @@ def _bwd(q, k, v, bias, o, lse, do, *, block_q: int, block_k: int,
             pl.BlockSpec((g, block_k, d), lambda i, j, qb: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_p, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((g, block_k, d), jnp.float32),  # dk accumulator
@@ -469,7 +488,7 @@ def _attention_fwd(q, k, v, bias, seed, block_q, block_k, interpret,
 def _attention_bwd(block_q, block_k, interpret, dropout_rate, head_group,
                    mxu_bf16, res, g):
     q, k, v, bias, seed, o, lse = res
-    dq, dk, dv = _bwd(q, k, v, bias, o, lse, g.astype(jnp.float32),
+    dq, dk, dv = _bwd(q, k, v, bias, o, lse, g,
                       block_q=min(block_q, BWD_BLOCK_Q),
                       block_k=min(block_k, BWD_BLOCK_K),
                       interpret=interpret, dropout_rate=dropout_rate,
@@ -539,13 +558,18 @@ def fused_attention(
                 ).astype(jnp.int32).reshape(1, 1)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-    in_dtype = q.dtype
-    qt = q.transpose(0, 2, 1, 3).astype(jnp.float32)
-    kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
-    vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    # q/k/v stay in the caller's dtype all the way into the kernels (the
+    # per-block upcast to f32 happens in VMEM, see _mxu): at bf16 this
+    # halves the kernel's HBM input traffic and the residuals saved for
+    # the backward, with identical numerics (bf16->f32 is exact, and the
+    # old post-kernel astype(in_dtype) rounded out/dq/dk/dv to the caller
+    # dtype at the same points the kernels now write them).
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
     out = _attention(qt, kt, vt, bias, seed, block_q, block_k, interpret,
                      float(dropout_rate), int(head_group), bool(mxu_bf16))
-    return out.transpose(0, 2, 1, 3).astype(in_dtype)
+    return out.transpose(0, 2, 1, 3)
 
 
 def mesh_compatible(mesh, batch: int, heads: int,

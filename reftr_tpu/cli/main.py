@@ -64,6 +64,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     # --quantize_int8 (nothing frozen to fold).
     p.add_argument("--backbone_norm", default="frozen",
                    choices=("frozen", "group"))
+    # FROM-SCRATCH deviation: dense in-box BCE on the encoder's image
+    # tokens (a linear probe head). Breaks the language-only basin that
+    # from-scratch runs fall into (PERFORMANCE.md "Flagship-geometry
+    # training"); REC only — the RES mask loss already supervises vision.
+    p.add_argument("--vision_aux_loss", action="store_true")
+    p.add_argument("--vision_aux_loss_coef", default=1.0, type=float)
     p.add_argument("--ablation", type=str, default="none")
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true")
@@ -242,7 +248,9 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.quantize_int8 = args.quantize_int8
     m.quantize_scope = tuple(args.quantize_scope)
     m.quantize_train_prefix = args.quantize_train_prefix
+    m.vision_aux = args.vision_aux_loss and not args.masks
     # loss
+    l.vision_aux_coef = args.vision_aux_loss_coef
     l.bbox_loss_coef = args.bbox_loss_coef
     l.giou_loss_coef = args.giou_loss_coef
     l.mask_loss_coef = args.mask_loss_coef

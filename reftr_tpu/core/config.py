@@ -115,6 +115,19 @@ class ModelConfig:
     # statistics sync. Incompatible with fold_bn/quantize_int8 (nothing
     # frozen to fold).
     backbone_norm: str = "frozen"  # frozen | group
+    # FROM-SCRATCH deviation #3: dense vision-grounding auxiliary loss.
+    # Adds a linear probe on the VL encoder's IMAGE tokens predicting
+    # "is this cell inside the target box" (BCE vs the box-rasterized
+    # grid, criterion.py::loss_vision). Breaks the language-only basin:
+    # the probe is only satisfiable from image content, so the encoder
+    # output cannot learn to suppress the visual stream (the round-4/5
+    # failure mode, PERFORMANCE.md "Flagship-geometry training" — the
+    # plateaued model's encoder output carried 0.001x image signal).
+    # Standard grounding-heatmap supervision; REC path only (the RES
+    # path's mask loss already supervises vision densely). The reference
+    # has no equivalent because its ImageNet backbone init makes the
+    # visual stream informative from step 0.
+    vision_aux: bool = False
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128
@@ -188,6 +201,7 @@ class LossConfig:
     mask_loss_coef: float = 1.0
     dice_loss_coef: float = 1.0
     cem_loss_coef: float = 1.0
+    vision_aux_coef: float = 1.0  # weight of the in-box probe BCE
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     # Hungarian/one-to-all matcher costs (capability parity; the live

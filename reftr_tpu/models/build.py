@@ -49,5 +49,6 @@ def build_model(cfg: RefTRConfig) -> Tuple[nn.Module, Dict[str, float]]:
     else:
         model = RefTR(mc)
     wd = build_weight_dict(cfg.loss, mc.dec_layers, mc.aux_loss,
-                           with_masks=mc.masks)
+                           with_masks=mc.masks,
+                           vision_aux=mc.vision_aux and not mc.masks)
     return model, wd

@@ -83,6 +83,45 @@ def loss_masks(
     }
 
 
+def loss_vision(
+    outputs: Dict[str, Any],
+    targets: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """Dense in-box BCE on the encoder's image tokens (vision_aux).
+
+    Target grid: cell (i, j) is positive iff its center — in the same
+    normalized frame as the boxes (the VALID image extent, see
+    data/transforms.py) — lies inside ANY valid target box. Masked-mean
+    BCE over valid cells, averaged over levels. From-scratch aid (no
+    reference equivalent): makes the language-only solution non-optimal,
+    see core/config.py::vision_aux.
+    """
+    boxes = targets["boxes"].astype(jnp.float32)  # [B, P, 4] cxcywh
+    bval = targets["box_valid"].astype(bool)  # [B, P]
+    total = 0.0
+    for logits, valid in zip(outputs["vision_logits"],
+                             outputs["vision_valid"]):
+        b, h, w = logits.shape
+        # valid extent in cells (>=1); centers normalized by it so the
+        # grid frame matches the boxes' resized-extent normalization
+        ncol = jnp.maximum(valid.any(1).sum(-1), 1).astype(jnp.float32)
+        nrow = jnp.maximum(valid.any(2).sum(-1), 1).astype(jnp.float32)
+        cx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None] / ncol[:, None]
+        cy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None] / nrow[:, None]
+        inx = (jnp.abs(cx[:, None] - boxes[..., 0:1])
+               <= boxes[..., 2:3] / 2)  # [B, P, w]
+        iny = (jnp.abs(cy[:, None] - boxes[..., 1:2])
+               <= boxes[..., 3:4] / 2)  # [B, P, h]
+        inside = (iny[:, :, :, None] & inx[:, :, None, :]
+                  & bval[:, :, None, None]).any(1)  # [B, h, w]
+        tgt = inside.astype(jnp.float32)
+        lg = logits.astype(jnp.float32)
+        bce = jnp.maximum(lg, 0.0) - lg * tgt + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+        vw = valid.astype(jnp.float32)
+        total += (bce * vw).sum() / jnp.maximum(vw.sum(), 1.0)
+    return {"loss_vision": total / len(outputs["vision_logits"])}
+
+
 def compute_num_boxes(box_valid: jnp.ndarray, world_size: int = 1):
     """Global box count with the reference's per-worker clamp at 1."""
     n = box_valid.astype(jnp.float32).sum()
@@ -100,6 +139,8 @@ def criterion(
     num_boxes = compute_num_boxes(targets["box_valid"], world_size)
     losses = loss_boxes(outputs["pred_boxes"], outputs["phrase_mask"],
                         targets["boxes"], num_boxes)
+    if "vision_logits" in outputs:
+        losses.update(loss_vision(outputs, targets))
     if with_masks and "pred_masks" in outputs:
         losses.update(loss_masks(outputs["pred_masks"], targets["masks"],
                                  targets["mask_valid"], cfg))
@@ -113,10 +154,13 @@ def criterion(
 
 
 def weight_dict(cfg: LossConfig, dec_layers: int, aux_loss: bool,
-                with_masks: bool = False) -> Dict[str, float]:
+                with_masks: bool = False,
+                vision_aux: bool = False) -> Dict[str, float]:
     """Loss weights (reftr_transformer.py:320-329, reftr_segmentation.py:
     349-360)."""
     wd = {"loss_giou": cfg.giou_loss_coef, "loss_bbox": cfg.bbox_loss_coef}
+    if vision_aux:
+        wd["loss_vision"] = cfg.vision_aux_coef
     if with_masks:
         wd.update({"loss_dice": cfg.dice_loss_coef,
                    "loss_mask": cfg.mask_loss_coef,

@@ -142,6 +142,12 @@ class RefTR(nn.Module):
                 dtype=dtype, name="query_encoder")
         self.bbox_embed = MLP(mc.hidden_dim, 4, 3, dtype=dtype,
                               final_zero_init=True, name="bbox_embed")
+        if mc.vision_aux:
+            # in-box probe on encoder image tokens (from-scratch aid,
+            # core/config.py::vision_aux); fp32 logits like bbox_embed
+            self.vision_probe = nn.Dense(
+                1, kernel_init=nn.initializers.xavier_uniform(),
+                name="vision_probe")
         from reftr_tpu.nn.posembed import ImagePositionEmbedding
 
         self.pos_embedding = ImagePositionEmbedding(
@@ -299,6 +305,19 @@ class RefTR(nn.Module):
             "pred_boxes": coords[-1],
             "phrase_mask": query_valid,
         }
+        if mc.vision_aux:
+            # per-level [B,h,w] in-box logits from the encoder's image
+            # tokens (memory is [B, s + sum(h*w), D], levels in src order)
+            logits, valids, off = [], [], s
+            for src, v in zip(srcs, img_valids):
+                _, h, w, _ = src.shape
+                tok = memory[:, off:off + h * w]
+                off += h * w
+                logits.append(self.vision_probe(
+                    tok.astype(jnp.float32)).reshape(b, h, w))
+                valids.append(v)
+            out["vision_logits"] = logits
+            out["vision_valid"] = valids
         if mc.aux_loss:
             out["aux_outputs"] = [
                 {"pred_boxes": coords[i], "phrase_mask": query_valid}

@@ -70,6 +70,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     # training"); REC only — the RES mask loss already supervises vision.
     p.add_argument("--vision_aux_loss", action="store_true")
     p.add_argument("--vision_aux_loss_coef", default=1.0, type=float)
+    # FROM-SCRATCH deviation: sine position embedding added INTO the image
+    # token stream (ViT convention) instead of q/k-only (DETR convention).
+    # Without it the decoder's box readout needs the encoder to learn
+    # position-into-content injection from scratch — see core/config.py.
+    p.add_argument("--img_pos_in_stream", action="store_true")
     p.add_argument("--ablation", type=str, default="none")
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true")
@@ -249,6 +254,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.quantize_scope = tuple(args.quantize_scope)
     m.quantize_train_prefix = args.quantize_train_prefix
     m.vision_aux = args.vision_aux_loss and not args.masks
+    m.img_pos_in_stream = args.img_pos_in_stream
     # loss
     l.vision_aux_coef = args.vision_aux_loss_coef
     l.bbox_loss_coef = args.bbox_loss_coef

@@ -128,6 +128,21 @@ class ModelConfig:
     # has no equivalent because its ImageNet backbone init makes the
     # visual stream informative from step 0.
     vision_aux: bool = False
+    # FROM-SCRATCH deviation #4: add the sine position embedding INTO the
+    # projected image features at encoder input (the ViT/BERT convention;
+    # language tokens already carry position in their embeddings). The
+    # reference keeps the DETR convention — position only in attention
+    # q/k, never in the value/residual stream (transformer.py pos-in-qk)
+    # — which means cross-attention VALUES carry no direct position
+    # signal: the decoder's box readout then depends on the encoder
+    # *learning* to inject position into content, a slow path from
+    # scratch (diagnosed round 5: with vision_aux the encoder output
+    # carries near-perfect in-box information — probe BCE 0.03 — while
+    # box regression stays at the phrase-conditional mean; the aggregated
+    # in-box tokens of a uniform-color rectangle say "red" but not
+    # where). Pretrained backbones sidestep this via padding-induced
+    # absolute-position content in CNN features.
+    img_pos_in_stream: bool = False
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128

@@ -279,6 +279,10 @@ class RefTR(nn.Module):
 
         srcs, img_valids, img_poss, _ = self.extract_image_features(
             batch["image"], batch["image_valid"])
+        if mc.img_pos_in_stream:
+            # position into the value/residual stream (from-scratch aid,
+            # core/config.py::img_pos_in_stream); q/k pos stays as-is
+            srcs = [s + p for s, p in zip(srcs, img_poss)]
         sentence_feat, pooled = self.encode_language(
             batch["sentence"], batch["sentence_valid"], deterministic)
         phrase_pooled, context_valid, query_valid = self.phrase_inputs(

@@ -81,6 +81,9 @@ class RefTRSeg(RefTR):
         img_valid = downsample_mask(batch["image_valid"], src.shape[1:3])
         pos = self.pos_embedding(img_valid)
         srcs, img_valids, img_poss = [src], [img_valid], [pos.astype(src.dtype)]
+        if mc.img_pos_in_stream:
+            # from-scratch aid, core/config.py::img_pos_in_stream
+            srcs = [s_ + p_ for s_, p_ in zip(srcs, img_poss)]
 
         sentence_feat, pooled = self.encode_language(
             batch["sentence"], batch["sentence_valid"], deterministic)

@@ -75,6 +75,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     # Without it the decoder's box readout needs the encoder to learn
     # position-into-content injection from scratch — see core/config.py.
     p.add_argument("--img_pos_in_stream", action="store_true")
+    # FROM-SCRATCH deviation: decoder cross-attn values carry memory_pos
+    # (positional readout of the attended region; see core/config.py).
+    p.add_argument("--decoder_pos_in_value", action="store_true")
     p.add_argument("--ablation", type=str, default="none")
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true")
@@ -255,6 +258,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.quantize_train_prefix = args.quantize_train_prefix
     m.vision_aux = args.vision_aux_loss and not args.masks
     m.img_pos_in_stream = args.img_pos_in_stream
+    m.decoder_pos_in_value = args.decoder_pos_in_value
     # loss
     l.vision_aux_coef = args.vision_aux_loss_coef
     l.bbox_loss_coef = args.bbox_loss_coef

@@ -143,6 +143,17 @@ class ModelConfig:
     # where). Pretrained backbones sidestep this via padding-induced
     # absolute-position content in CNN features.
     img_pos_in_stream: bool = False
+    # FROM-SCRATCH deviation #5: decoder cross-attention VALUES carry the
+    # memory position embedding (q/k-only by default, the reference's
+    # DETR convention). The surgical version of the positional-readout
+    # fix: once cross-attention concentrates on the referred region, the
+    # aggregated sum(w_i * (v_i + p_i)) carries the region's center AND
+    # extent (a mean of sines over an interval encodes both), which
+    # bbox_embed can decode directly. Unlike img_pos_in_stream this
+    # leaves encoder dynamics untouched (measured: full-scale pos in the
+    # encoder stream drowns content learning — the vision_aux probe
+    # stays at the trivial baseline, exps/run_gn_flagship4.txt).
+    decoder_pos_in_value: bool = False
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128

@@ -133,6 +133,7 @@ class RefTR(nn.Module):
             dtype=dtype, use_pallas=mc.use_pallas_attention, remat=mc.remat,
             quantize=mc.quantize_int8 and "vl" in mc.quantize_scope,
             sow_absmax=mc.quant_calibrate,
+            pos_in_value=mc.decoder_pos_in_value,
             name="vl_transformer")
         if self.vl_transformer.use_decoder:
             self.map_phrase = MLPMapping(mc.hidden_dim, mc.dropout,

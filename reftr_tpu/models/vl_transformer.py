@@ -40,6 +40,7 @@ class VLTransformer(nn.Module):
     # int8 serving path for projections/FFNs (nn/quant.py)
     quantize: bool = False
     sow_absmax: bool = False
+    pos_in_value: bool = False  # see nn/transformer.py decoder
 
     @property
     def use_decoder(self) -> bool:
@@ -69,7 +70,8 @@ class VLTransformer(nn.Module):
                 self.dim_feedforward, self.dropout, self.activation,
                 self.normalize_before, self.return_intermediate_dec,
                 self.dtype, self.use_pallas, quantize=self.quantize,
-                sow_absmax=self.sow_absmax, name="decoder")
+                sow_absmax=self.sow_absmax, pos_in_value=self.pos_in_value,
+                name="decoder")
 
     def process_img_feat(
         self,

@@ -164,6 +164,10 @@ class TransformerDecoderLayer(nn.Module):
     use_pallas: Any = None  # None = auto (see nn.attention)
     quantize: bool = False
     sow_absmax: bool = False
+    # cross-attention VALUES carry memory_pos too (from-scratch aid,
+    # core/config.py::decoder_pos_in_value); default = reference parity
+    # (pos in q/k only, transformer.py:86-96)
+    pos_in_value: bool = False
 
     @nn.compact
     def __call__(
@@ -176,6 +180,7 @@ class TransformerDecoderLayer(nn.Module):
         query_pos: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        mem_v = with_pos(memory, pos) if self.pos_in_value else memory
         self_attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                        dtype=self.dtype,
                                        use_pallas=self.use_pallas,
@@ -203,7 +208,7 @@ class TransformerDecoderLayer(nn.Module):
             tgt = tgt + drop(self_attn(qk, qk, t2, tgt_valid_mask, deterministic))
             t2 = norm2(tgt)
             tgt = tgt + drop(cross_attn(with_pos(t2, query_pos),
-                                        with_pos(memory, pos), memory,
+                                        with_pos(memory, pos), mem_v,
                                         memory_valid_mask, deterministic))
             t2 = norm3(tgt)
             return tgt + drop(ffn(t2, deterministic))
@@ -211,7 +216,7 @@ class TransformerDecoderLayer(nn.Module):
         tgt = tgt + drop(self_attn(qk, qk, tgt, tgt_valid_mask, deterministic))
         tgt = norm1(tgt)
         tgt = tgt + drop(cross_attn(with_pos(tgt, query_pos),
-                                    with_pos(memory, pos), memory,
+                                    with_pos(memory, pos), mem_v,
                                     memory_valid_mask, deterministic))
         tgt = norm2(tgt)
         tgt = tgt + drop(ffn(tgt, deterministic))
@@ -235,6 +240,7 @@ class TransformerDecoder(nn.Module):
     use_pallas: Any = None  # None = auto (see nn.attention)
     quantize: bool = False
     sow_absmax: bool = False
+    pos_in_value: bool = False  # see TransformerDecoderLayer
 
     @nn.compact
     def __call__(
@@ -255,7 +261,8 @@ class TransformerDecoder(nn.Module):
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
                 self.use_pallas, quantize=self.quantize,
-                sow_absmax=self.sow_absmax, name=f"layers_{i}",
+                sow_absmax=self.sow_absmax, pos_in_value=self.pos_in_value,
+                name=f"layers_{i}",
             )(out, memory, tgt_valid_mask, memory_valid_mask, pos, query_pos,
               deterministic)
             if self.return_intermediate:

@@ -213,3 +213,24 @@ def test_img_pos_in_stream_changes_encoding(single_setup):
     m1 = np.asarray(out1["internals"]["memory"], np.float32)
     assert np.isfinite(m1).all()
     assert np.abs(m0 - m1).max() > 1e-3  # pos actually entered the stream
+
+
+def test_decoder_pos_in_value_changes_decoding(single_setup):
+    """decoder_pos_in_value (from-scratch aid): same params, flag adds
+    memory_pos to cross-attn values — decoder states must differ; the
+    default path is untouched (parity)."""
+    import dataclasses as dc
+
+    model, params, batch = single_setup
+    mc2 = dc.replace(model.config, decoder_pos_in_value=True)
+    out0 = jax.jit(lambda p, b: model.apply(p, b, return_internals=True)
+                   )(params, batch)
+    out1 = jax.jit(lambda p, b: RefTR(mc2).apply(p, b, return_internals=True)
+                   )(params, batch)
+    h0 = np.asarray(out0["internals"]["hs"], np.float32)
+    h1 = np.asarray(out1["internals"]["hs"], np.float32)
+    assert np.isfinite(h1).all()
+    assert np.abs(h0 - h1).max() > 1e-4  # pos reached the value pathway
+    m0 = np.asarray(out0["internals"]["memory"], np.float32)
+    m1 = np.asarray(out1["internals"]["memory"], np.float32)
+    np.testing.assert_array_equal(m0, m1)  # encoder untouched

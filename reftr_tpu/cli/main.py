@@ -78,6 +78,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     # FROM-SCRATCH deviation: decoder cross-attn values carry memory_pos
     # (positional readout of the attended region; see core/config.py).
     p.add_argument("--decoder_pos_in_value", action="store_true")
+    # FROM-SCRATCH deviation: final box decoded from the vision_aux
+    # heatmap (soft-argmax; requires --vision_aux_loss). See core/config.py.
+    p.add_argument("--heatmap_box", action="store_true")
     p.add_argument("--ablation", type=str, default="none")
     p.add_argument("--backbone", default="resnet50", type=str)
     p.add_argument("--dilation", action="store_true")
@@ -259,6 +262,7 @@ def args_to_config(args: argparse.Namespace) -> RefTRConfig:
     m.vision_aux = args.vision_aux_loss and not args.masks
     m.img_pos_in_stream = args.img_pos_in_stream
     m.decoder_pos_in_value = args.decoder_pos_in_value
+    m.heatmap_box = args.heatmap_box
     # loss
     l.vision_aux_coef = args.vision_aux_loss_coef
     l.bbox_loss_coef = args.bbox_loss_coef

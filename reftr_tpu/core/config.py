@@ -154,6 +154,17 @@ class ModelConfig:
     # encoder stream drowns content learning — the vision_aux probe
     # stays at the trivial baseline, exps/run_gn_flagship4.txt).
     decoder_pos_in_value: bool = False
+    # FROM-SCRATCH deviation #6: decode the FINAL box from the vision_aux
+    # heatmap (CenterNet-style soft-argmax: center = sigmoid-normalized
+    # centroid, extent = sqrt(12)*std — exact for a filled axis-aligned
+    # rectangle) instead of the decoder query. Round-5 measurement: with
+    # vision_aux the heatmap is near-perfect (BCE 0.006) while the query
+    # path stays at the phrase-conditional mean through 3 attempts
+    # (plateau-locked attention; PERFORMANCE.md campaign table) — the
+    # solved representation just needs a spatial decode head. The decoder
+    # keeps training through the aux losses (all layers incl. the last).
+    # Requires vision_aux; single-phrase REC only.
+    heatmap_box: bool = False
     bert_model: str = "bert-base-uncased"
     bert: BertConfig = field(default_factory=BertConfig)
     max_lang_seq: int = 128

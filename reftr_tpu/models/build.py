@@ -42,6 +42,16 @@ def build_model(cfg: RefTRConfig) -> Tuple[nn.Module, Dict[str, float]]:
                              "mutually exclusive (serving PTQ expects an "
                              "fp layer1; serve prefix-trained checkpoints "
                              "with quantize_train_prefix instead)")
+    if mc.heatmap_box:
+        if not mc.vision_aux:
+            raise ValueError("heatmap_box decodes the vision_aux heatmap; "
+                             "enable --vision_aux_loss")
+        if mc.masks:
+            raise ValueError("heatmap_box is a REC head; the RES path "
+                             "decodes masks instead")
+        if mc.num_queries_per_phrase != 1 or "multi" in mc.reftr_type:
+            raise ValueError("heatmap_box supports single-phrase REC with "
+                             "one query per phrase only")
     if mc.masks:
         from reftr_tpu.models.reftr_seg import RefTRSeg
 
@@ -50,5 +60,6 @@ def build_model(cfg: RefTRConfig) -> Tuple[nn.Module, Dict[str, float]]:
         model = RefTR(mc)
     wd = build_weight_dict(cfg.loss, mc.dec_layers, mc.aux_loss,
                            with_masks=mc.masks,
-                           vision_aux=mc.vision_aux and not mc.masks)
+                           vision_aux=mc.vision_aux and not mc.masks,
+                           heatmap_box=mc.heatmap_box)
     return model, wd

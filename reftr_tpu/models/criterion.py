@@ -155,9 +155,11 @@ def criterion(
 
 def weight_dict(cfg: LossConfig, dec_layers: int, aux_loss: bool,
                 with_masks: bool = False,
-                vision_aux: bool = False) -> Dict[str, float]:
+                vision_aux: bool = False,
+                heatmap_box: bool = False) -> Dict[str, float]:
     """Loss weights (reftr_transformer.py:320-329, reftr_segmentation.py:
-    349-360)."""
+    349-360). With heatmap_box the decoder's last layer is an extra aux
+    entry (models/reftr.py), so the aux range extends by one."""
     wd = {"loss_giou": cfg.giou_loss_coef, "loss_bbox": cfg.bbox_loss_coef}
     if vision_aux:
         wd["loss_vision"] = cfg.vision_aux_coef
@@ -167,9 +169,12 @@ def weight_dict(cfg: LossConfig, dec_layers: int, aux_loss: bool,
                    "loss_cem": cfg.cem_loss_coef})
     if aux_loss:
         base = dict(wd)
-        for i in range(dec_layers - 1):
+        n_aux = dec_layers if (vision_aux and heatmap_box) else dec_layers - 1
+        for i in range(n_aux):
             wd.update({f"{k}_{i}": v for k, v in base.items()
-                       if not k.startswith(("loss_dice", "loss_mask", "loss_cem"))})
+                       if not k.startswith(
+                           ("loss_dice", "loss_mask", "loss_cem",
+                            "loss_vision"))})
     return wd
 
 

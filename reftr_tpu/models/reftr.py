@@ -270,6 +270,31 @@ class RefTR(nn.Module):
         return phrase_pooled, context_valid, query_valid
 
     # ------------------------------------------------------------------
+    def _heatmap_box(self, logits: jnp.ndarray,
+                     valid: jnp.ndarray) -> jnp.ndarray:
+        """Soft-argmax box from the vision_aux heatmap (heatmap_box).
+
+        center = centroid of the sigmoid-normalized heatmap, extent =
+        sqrt(12 * variance) — exact for a filled axis-aligned rectangle
+        indicator. Coordinates in the boxes' normalized frame (the valid
+        extent, matching criterion.py::loss_vision).
+        """
+        b, h, w = logits.shape
+        vw = valid.astype(jnp.float32)
+        ncol = jnp.maximum(valid.any(1).sum(-1), 1).astype(jnp.float32)
+        nrow = jnp.maximum(valid.any(2).sum(-1), 1).astype(jnp.float32)
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None] / ncol[:, None]
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None] / nrow[:, None]
+        q = jax.nn.sigmoid(logits.astype(jnp.float32)) * vw
+        q = q / jnp.maximum(q.sum((1, 2), keepdims=True), 1e-6)
+        qx, qy = q.sum(1), q.sum(2)  # [B,w], [B,h] marginals
+        cx = (qx * xs).sum(-1)
+        cy = (qy * ys).sum(-1)
+        bw = jnp.sqrt(12.0 * (qx * (xs - cx[:, None]) ** 2).sum(-1) + 1e-12)
+        bh = jnp.sqrt(12.0 * (qy * (ys - cy[:, None]) ** 2).sum(-1) + 1e-12)
+        box = jnp.stack([cx, cy, bw, bh], axis=-1)
+        return jnp.clip(box, 1e-4, 1.0)  # [B, 4] cxcywh
+
     def __call__(self, batch: Dict[str, jnp.ndarray],
                  deterministic: bool = True,
                  return_internals: bool = False) -> Dict[str, Any]:
@@ -323,10 +348,21 @@ class RefTR(nn.Module):
                 valids.append(v)
             out["vision_logits"] = logits
             out["vision_valid"] = valids
+            if mc.heatmap_box:
+                if "phrases" in batch or n_q != 1:
+                    raise ValueError(
+                        "heatmap_box supports single-phrase REC only (one "
+                        "query, one box per image)")
+                out["pred_boxes"] = self._heatmap_box(
+                    logits[0], img_valids[0]).reshape(b, 1, 1, 4)
+        # with heatmap_box the decoder's LAST layer moves into the aux
+        # list so the query path keeps training end to end
+        n_aux = n_layers if (mc.vision_aux and mc.heatmap_box) \
+            else n_layers - 1
         if mc.aux_loss:
             out["aux_outputs"] = [
                 {"pred_boxes": coords[i], "phrase_mask": query_valid}
-                for i in range(n_layers - 1)
+                for i in range(n_aux)
             ]
         if return_internals:
             out["internals"] = {

@@ -165,3 +165,34 @@ def test_vision_aux_model_and_step(rng):
         lambda a, x: a + float(np.abs(x).sum()),
         jax.tree_util.tree_map(lambda a, b2: a - b2, before, after), 0.0)
     assert delta > 0.0
+
+
+def test_heatmap_box_decode_exact_rectangle(rng):
+    """_heatmap_box recovers a filled axis-aligned rectangle exactly
+    (up to grid discretization): center = centroid, extent = sqrt(12)*std.
+    Uses crisp logits (+/-20) over a 32x32 grid with a box spanning cells
+    [8,24) x [4,20) -> cxcywh (0.5, 0.375, 0.5, 0.5)."""
+    import jax.numpy as jnp
+
+    from reftr_tpu.core.config import ModelConfig
+    from reftr_tpu.models.reftr import RefTR
+
+    h = w = 32
+    logits = np.full((1, h, w), -20.0, np.float32)
+    logits[0, 4:20, 8:24] = 20.0  # rows 4..19, cols 8..23
+    valid = np.ones((1, h, w), bool)
+    model = RefTR(ModelConfig(vision_aux=True, heatmap_box=True))
+    box = np.asarray(model._heatmap_box(jnp.asarray(logits),
+                                        jnp.asarray(valid)))[0]
+    np.testing.assert_allclose(box, [0.5, 0.375, 0.5, 0.5], atol=5e-3)
+
+    # padded region must not contribute: same box inside a 16x16 valid
+    # extent (cells [4,12)x[2,10) of the 16-wide valid region)
+    lg2 = np.full((1, h, w), -20.0, np.float32)
+    lg2[0, 2:10, 4:12] = 20.0
+    lg2[0, 16:, 16:] = 20.0  # garbage in padding
+    v2 = np.zeros((1, h, w), bool)
+    v2[0, :16, :16] = True
+    box2 = np.asarray(model._heatmap_box(jnp.asarray(lg2),
+                                         jnp.asarray(v2)))[0]
+    np.testing.assert_allclose(box2, [0.5, 0.375, 0.5, 0.5], atol=5e-3)
